@@ -1,0 +1,111 @@
+"""ORB-style rotated-BRIEF descriptors and Hamming matching, batched.
+
+TPU-native replacement for the reference's ORBDetector (reference
+extra/orb_detector.{h,cc}): intensity-centroid orientation over a 31px
+circular patch (orb_detector.cc:412-437), a 256-pair rotated binary test
+(orb_detector.cc:350-395) and SWAR-popcount Hamming distance
+(orb_detector.cc:398-410).
+
+Design departures (deliberate — behavioral parity, not bit parity):
+  * The reference embeds OpenCV's learned 256-pair table. We generate our own
+    deterministic Gaussian pair pattern (classic BRIEF construction, seeded)
+    at import time; descriptors only ever match against descriptors produced
+    by this module, so self-consistency is what matters.
+  * Descriptors are (N, 256) bit tensors packed as (N, 8) uint32 lanes;
+    Hamming distance is a popcount-matmul over candidate pairs instead of a
+    byte-wise scalar loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import interp
+
+PATCH_RADIUS = 15  # 31x31 patch, as the reference
+N_BITS = 256
+
+
+def _make_pattern(seed: int = 7) -> np.ndarray:
+    """(256, 4) float32 of (x1, y1, x2, y2) test pairs, N(0, (r/5)^2)
+    clipped to the patch — the original BRIEF-II sampling scheme."""
+    rs = np.random.RandomState(seed)
+    sigma = PATCH_RADIUS / 5.0 * 2.0
+    pts = rs.normal(0.0, sigma, size=(N_BITS, 4))
+    return np.clip(pts, -PATCH_RADIUS + 1, PATCH_RADIUS - 1).astype(np.float32)
+
+
+_PATTERN = jnp.asarray(_make_pattern())
+
+# Circular mask row extents for the orientation moments, as in the reference's
+# u_max table (orb_detector.cc:45-60): for each |y| <= r the max |x| on the circle.
+_UMAX = jnp.asarray(
+    [int(np.floor(np.sqrt(PATCH_RADIUS**2 - y * y))) for y in range(PATCH_RADIUS + 1)],
+    jnp.float32,
+)
+
+
+def orientations(img: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation (radians) at each center (N, 2).
+
+    Mirrors reference GetOrientation (orb_detector.cc:412-437): moments m01,
+    m10 over the circular 31px patch; angle = atan2(m01, m10).
+    """
+    r = PATCH_RADIUS
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    circle = (ox * ox + oy * oy) <= r * r
+    pos = centers[:, None, None, :] + jnp.stack([ox, oy], axis=-1)
+    vals = interp.bilinear(img, pos) * circle
+    m10 = jnp.sum(vals * ox, axis=(-2, -1))
+    m01 = jnp.sum(vals * oy, axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+def descriptors(img: jnp.ndarray, centers: jnp.ndarray,
+                angles: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Rotated-BRIEF descriptors, (N, 8) uint32 (256 bits).
+
+    Test pairs are rotated by the patch orientation (steered BRIEF,
+    reference orb_detector.cc:350-395) and sampled bilinearly.
+    """
+    if angles is None:
+        angles = orientations(img, centers)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    p1 = _PATTERN[:, :2]  # (256, 2)
+    p2 = _PATTERN[:, 2:]
+    # rotate pattern per keypoint: (N, 256, 2)
+    def _rot(p):
+        x = p[None, :, 0] * ca[:, None] - p[None, :, 1] * sa[:, None]
+        y = p[None, :, 0] * sa[:, None] + p[None, :, 1] * ca[:, None]
+        return jnp.stack([x, y], axis=-1)
+
+    pos1 = centers[:, None, :] + _rot(p1)
+    pos2 = centers[:, None, :] + _rot(p2)
+    v1 = interp.bilinear(img, pos1)
+    v2 = interp.bilinear(img, pos2)
+    bits = (v1 < v2).astype(jnp.uint32)  # (N, 256)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = bits.reshape(-1, 8, 32) << shifts[None, None, :]
+    return jnp.sum(words, axis=-1).astype(jnp.uint32)
+
+
+def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
+    """Branch-free SWAR popcount on uint32 lanes (the reference does the
+    same trick per byte-pair, orb_detector.cc:398-410)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def hamming(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise-broadcast Hamming distance between (…, 8) uint32 descriptors."""
+    return jnp.sum(_popcount32(jnp.bitwise_xor(a, b)), axis=-1)
+
+
+def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(Na, Nb) all-pairs Hamming distances."""
+    return hamming(a[:, None, :], b[None, :, :])

@@ -1,0 +1,32 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; per SURVEY.md §4 we validate
+sharded code paths on `xla_force_host_platform_device_count=8` CPU devices.
+Must run before jax initializes its backends, hence the env mutation at
+module import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's site config pins jax_platforms to "axon,cpu" (the real
+# TPU tunnel), which both shadows the env var and would funnel every tiny
+# test op through the device RPC. Force pure host CPU for the suite.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(seed=0)
