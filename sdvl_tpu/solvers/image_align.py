@@ -1,0 +1,129 @@
+"""Sparse direct image alignment (SVO-style), batched and jitted.
+
+TPU-native replacement for the reference's ImageAlign (reference
+image_align.{h,cc}): coarse-to-fine inverse-compositional Gauss-Newton on the
+6-DoF pose with 4x4 intensity patches around tracked features
+(image_align.cc:46-267). The reference walks features and patch pixels in
+scalar loops per GN iteration; here residuals for all N features x 16 pixels
+are one batched gather, the normal equations one einsum, and the whole
+coarse-to-fine schedule a single XLA program.
+
+Rollback-on-chi2-increase (image_align.cc:109-111) is expressed as carrying
+the best-so-far pose through the iteration loop instead of branching.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core import geometry, se3
+from ..ops import interp
+
+PATCH_HALF = 2  # 4x4 patches, reference image_align.h patch size
+
+
+class ImageAlignResult(NamedTuple):
+    pose: jnp.ndarray       # (7,) refined world->cam pose of current frame
+    error: jnp.ndarray      # () final mean squared residual (intensity^2)
+    n_used: jnp.ndarray     # () number of features contributing
+
+
+def _level_align(pyr_ref_l: jnp.ndarray, pyr_cur_l: jnp.ndarray, intr,
+                 level: int, pts_w: jnp.ndarray, valid: jnp.ndarray,
+                 pose_ref: jnp.ndarray, pose_init: jnp.ndarray,
+                 iters: int):
+    """One pyramid level of inverse-compositional GN. Returns (pose, chi2, n)."""
+    scale = 1.0 / (1 << level)
+    N = pts_w.shape[0]
+    s = 2 * PATCH_HALF
+
+    # --- Precompute reference patches + Jacobians (image_align.cc:208-267) ---
+    p_ref = se3.transform(pose_ref, pts_w)              # (N,3) ref-cam coords
+    px_ref = cam.project(intr, p_ref) * scale            # level coords
+    ok = valid & (p_ref[..., 2] > 1e-3)
+    ok = ok & cam.in_bounds(intr, px_ref / scale, margin=(PATCH_HALF + 2) / scale,
+                            level=0)
+
+    d = jnp.arange(s, dtype=jnp.float32) - PATCH_HALF
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    offs = jnp.stack([ox, oy], axis=-1).reshape(s * s, 2)
+
+    pos_ref = px_ref[:, None, :] + offs[None]
+    ref_val, ref_grad = interp.bilinear_with_grad(pyr_ref_l, pos_ref)  # (N,P),(N,P,2)
+
+    # d(pixel@level)/d(twist) = scale * [fx 0; 0 fy] @ d(unitplane)/d(twist)
+    J_uplane = geometry.jacobian_unit_plane(p_ref)       # (N,2,6)
+    focal = jnp.stack([intr.fx * scale, intr.fy * scale])
+    J_px = focal[None, :, None] * J_uplane               # (N,2,6)
+    # inverse-compositional: J = grad_ref @ J_px, fixed across iterations
+    J = jnp.einsum("npk,nkj->npj", ref_grad, J_px)       # (N,P,6)
+    w = ok.astype(jnp.float32)[:, None]                  # (N,1)
+    Hmat = jnp.einsum("npi,npj,np->ij", J, J, jnp.broadcast_to(w, J.shape[:2]))
+    Hmat = Hmat + 1e-6 * jnp.eye(6, dtype=Hmat.dtype)
+
+    # T_cur_ref parameterization: pose_cur = T_cr * pose_ref
+    T_cr0 = se3.compose(pose_init, se3.inverse(pose_ref))
+
+    def residuals(T_cr):
+        p_cur = se3.transform(T_cr, p_ref)
+        px_cur = cam.project(intr, p_cur) * scale
+        pos = px_cur[:, None, :] + offs[None]
+        cur_val = interp.bilinear(pyr_cur_l, pos)
+        inb = cam.in_bounds(intr, px_cur / scale,
+                            margin=(PATCH_HALF + 2) / scale, level=0)
+        m = (ok & inb & (p_cur[..., 2] > 1e-3)).astype(jnp.float32)[:, None]
+        r = (cur_val - ref_val) * m
+        return r, m
+
+    def body(_, carry):
+        T_cr, best_T, best_chi2 = carry
+        r, m = residuals(T_cr)
+        chi2 = jnp.sum(r * r) / jnp.maximum(jnp.sum(m) , 1.0)
+        # keep the best pose seen so far (functional rollback)
+        better = chi2 < best_chi2
+        best_T = jnp.where(better, T_cr, best_T)
+        best_chi2 = jnp.where(better, chi2, best_chi2)
+        g = jnp.einsum("npj,np->j", J, r)
+        dx = jnp.linalg.solve(Hmat, g[:, None])[:, 0]
+        # inverse-compositional update: T <- T * exp(dx)^-1
+        T_cr = se3.compose(T_cr, se3.inverse(se3.exp(dx)))
+        return T_cr, best_T, best_chi2
+
+    init = (T_cr0, T_cr0, jnp.asarray(jnp.inf, jnp.float32))
+    T_cr, best_T, best_chi2 = jax.lax.fori_loop(0, iters, body, init)
+    # last evaluation to possibly accept the final iterate
+    r, m = residuals(T_cr)
+    chi2 = jnp.sum(r * r) / jnp.maximum(jnp.sum(m), 1.0)
+    better = chi2 < best_chi2
+    best_T = jnp.where(better, T_cr, best_T)
+    best_chi2 = jnp.where(better, chi2, best_chi2)
+
+    pose = se3.compose(best_T, pose_ref)
+    return pose, best_chi2, jnp.sum(ok)
+
+
+def compute_pose(pyr_ref: Sequence[jnp.ndarray], pyr_cur: Sequence[jnp.ndarray],
+                 intr, pts_w: jnp.ndarray, valid: jnp.ndarray,
+                 pose_ref: jnp.ndarray, pose_init: jnp.ndarray,
+                 max_level: int = 4, min_level: int = 2,
+                 iters: int = 10) -> ImageAlignResult:
+    """Coarse-to-fine direct alignment (reference image_align.cc:46-84:
+    levels 4..2, 30 GN iterations; we default to 10 per level which matches
+    its practical convergence).
+
+    ``pts_w``: (N,3) world points of the reference frame's tracked features;
+    ``pose_init``: motion-model prediction for the current frame.
+    """
+    pose = pose_init
+    chi2 = jnp.asarray(0.0, jnp.float32)
+    n = jnp.asarray(0, jnp.int32)
+    for level in range(max_level, min_level - 1, -1):
+        pose, chi2, n = _level_align(
+            pyr_ref[level], pyr_cur[level], intr, level,
+            pts_w, valid, pose_ref, pose, iters,
+        )
+    return ImageAlignResult(pose=pose, error=chi2, n_used=n)
