@@ -1,0 +1,80 @@
+"""Dataset readers: image-list sequences (reference-compatible), TUM RGB-D.
+
+TPU-native replacement for the reference's VideoSource (reference
+video_source.{h,cc}): its image-sequence mode reads filenames line-by-line
+from ``<path>/<filename>`` and loads grayscale frames (video_source.cc:46-79).
+Live-V4L capture mode (video_source.cc:31-45) is out of scope in this
+container (no camera); the reader interface is a plain iterator either way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img
+
+
+def image_list_source(path: str, filename: str = "files.txt"
+                      ) -> Iterator[np.ndarray]:
+    """Reference-format source: one image filename per line
+    (video_source.cc:46-56,64-79). EOF simply ends the iterator (the
+    reference signals it with an empty Mat, main.cc:129-132)."""
+    listfile = os.path.join(path, filename)
+    with open(listfile) as f:
+        for line in f:
+            name = line.strip()
+            if not name:
+                continue
+            yield _imread_gray(os.path.join(path, name))
+
+
+def tum_rgb_source(seq_dir: str) -> Iterator[Tuple[float, np.ndarray]]:
+    """TUM RGB-D format: ``rgb.txt`` with `timestamp filename` rows."""
+    with open(os.path.join(seq_dir, "rgb.txt")) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            ts, rel = float(parts[0]), parts[1]
+            yield ts, _imread_gray(os.path.join(seq_dir, rel))
+
+
+def load_tum_groundtruth(seq_dir: str) -> np.ndarray:
+    """(N, 8) rows of [t, tx, ty, tz, qx, qy, qz, qw] from groundtruth.txt."""
+    rows = []
+    with open(os.path.join(seq_dir, "groundtruth.txt")) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) >= 8:
+                rows.append([float(x) for x in parts[:8]])
+    return np.asarray(rows)
+
+
+def save_tum_trajectory(path: str, stamps, poses_wc) -> None:
+    """Write a TUM-format trajectory (cam->world, x y z qx qy qz qw) —
+    the format every external ATE tool expects. The reference has no
+    save path at all (SURVEY.md §5 checkpoint/resume: none)."""
+    import jax.numpy as jnp
+
+    from ..core import se3
+
+    poses = np.asarray(poses_wc, np.float32)
+    inv = np.asarray(se3.inverse(jnp.asarray(poses)))
+    with open(path, "w") as f:
+        for ts, p in zip(stamps, inv):
+            qw, qx, qy, qz, tx, ty, tz = p
+            f.write(f"{ts} {tx} {ty} {tz} {qx} {qy} {qz} {qw}\n")

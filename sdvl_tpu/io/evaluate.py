@@ -1,0 +1,63 @@
+"""Trajectory evaluation: Umeyama alignment, ATE-RMSE, RPE.
+
+The reference relies on *external* TUM/EuRoC tooling for accuracy numbers
+(SURVEY.md §6: no in-repo evaluation at all); BASELINE.md requires the new
+framework to carry its own harness so both sides of every comparison are
+produced identically. Standard definitions: ATE after Sim(3) (monocular) or
+SE(3) alignment; RPE over fixed frame deltas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
+    """Least-squares similarity transform aligning src -> dst, (N,3) each.
+
+    Returns (s, R, t) with dst ~ s * R @ src + t.
+    """
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (xs ** 2).sum() / len(src)
+        s = np.trace(np.diag(D) @ S) / max(var_s, 1e-12)
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray,
+             with_scale: bool = True) -> float:
+    """Absolute trajectory error RMSE after alignment. Positions (N,3)."""
+    s, R, t = umeyama(est_pos, gt_pos, with_scale)
+    aligned = (s * (R @ est_pos.T)).T + t
+    err = np.linalg.norm(aligned - gt_pos, axis=1)
+    return float(np.sqrt(np.mean(err ** 2)))
+
+
+def rpe(est_pos: np.ndarray, gt_pos: np.ndarray, delta: int = 1) -> float:
+    """Relative pose (translation drift) error RMSE over ``delta`` frames."""
+    d_est = est_pos[delta:] - est_pos[:-delta]
+    d_gt = gt_pos[delta:] - gt_pos[:-delta]
+    err = np.linalg.norm(d_est - d_gt, axis=1)
+    return float(np.sqrt(np.mean(err ** 2)))
+
+
+def positions_from_poses(poses_wc: np.ndarray) -> np.ndarray:
+    """Camera centers from world->cam pose arrays (N, 7)."""
+    import jax.numpy as jnp
+
+    from ..core import se3
+
+    inv = se3.inverse(jnp.asarray(np.asarray(poses_wc, np.float32)))
+    return np.asarray(se3.translation(inv))

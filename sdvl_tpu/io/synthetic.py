@@ -1,0 +1,107 @@
+"""Synthetic rendered sequences with exact ground truth.
+
+The reference has no test assets at all (SURVEY.md §4) — it is validated by
+running binaries on external datasets. This module is the "fake backend" the
+new framework tests against without any dataset: a textured plane rendered
+through the pinhole model along a known trajectory. Planar scenes are the
+best case for the homography bootstrap (homography_init.cc assumes one) and
+exercise every stage: corners, flow, alignment, depth filters, BA.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core import se3
+
+import jax.numpy as jnp
+
+
+def make_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
+    """Multi-scale random texture with strong corners everywhere."""
+    rs = np.random.default_rng(seed)
+    tex = np.zeros((size, size), np.float32)
+    for scale in (8, 16, 32, 64):
+        small = rs.uniform(0, 255, (size // scale, size // scale))
+        tex += np.kron(small, np.ones((scale, scale))).astype(np.float32) / 4
+    # sprinkle hard blobs for FAST
+    for _ in range(400):
+        y, x = rs.integers(8, size - 16, 2)
+        tex[y : y + rs.integers(4, 12), x : x + rs.integers(4, 12)] += rs.uniform(30, 90)
+    return np.clip(tex, 0, 255).astype(np.float32)
+
+
+class PlaneScene:
+    """A textured world plane z = plane_z observed by a moving camera.
+
+    World frame == first camera frame (camera at origin looking +z).
+    ``extent`` is the half-size of the textured region in world units.
+    """
+
+    def __init__(self, fx=420.0, fy=420.0, cx=319.5, cy=239.5,
+                 width=640, height=480, plane_z=4.0, extent=6.0, seed=0):
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.width, self.height = width, height
+        self.plane_z = plane_z
+        self.extent = extent
+        self.tex = make_texture(seed=seed)
+
+    def render(self, pose_wc: np.ndarray) -> np.ndarray:
+        """Render the view from world->cam pose (7,). Pure NumPy."""
+        import cv2
+
+        R = np.asarray(se3.rotation(jnp.asarray(pose_wc)))
+        t = np.asarray(se3.translation(jnp.asarray(pose_wc)))
+        # cam->world
+        Rcw = R.T
+        tcw = -R.T @ t
+
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        rays = np.stack(
+            [(u - self.cx) / self.fx, (v - self.cy) / self.fy,
+             np.ones_like(u, np.float64)], axis=-1,
+        )
+        rays_w = rays @ Rcw.T
+        # intersect z = plane_z: tcw_z + s * ray_z = plane_z
+        denom = rays_w[..., 2]
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        sdist = (self.plane_z - tcw[2]) / denom
+        pw = tcw[None, None, :] + sdist[..., None] * rays_w
+        size = self.tex.shape[0]
+        mapx = ((pw[..., 0] + self.extent) / (2 * self.extent) * (size - 1))
+        mapy = ((pw[..., 1] + self.extent) / (2 * self.extent) * (size - 1))
+        img = cv2.remap(
+            self.tex, mapx.astype(np.float32), mapy.astype(np.float32),
+            cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT,
+        )
+        behind = sdist <= 0
+        img[behind] = 0.0
+        return img
+
+    def trajectory(self, n_frames: int, translation_amp=0.6,
+                   rot_amp=0.03) -> List[np.ndarray]:
+        """Smooth sideways-dominant trajectory (good bootstrap parallax).
+
+        Returns world->cam poses (7,) per frame; frame 0 is identity.
+        """
+        poses = []
+        for i in range(n_frames):
+            ph = i / max(n_frames - 1, 1)
+            xi = np.array([
+                translation_amp * np.sin(2 * np.pi * ph * 0.75),
+                0.3 * translation_amp * np.sin(2 * np.pi * ph * 1.5),
+                0.15 * translation_amp * np.sin(2 * np.pi * ph),
+                rot_amp * np.sin(2 * np.pi * ph),
+                rot_amp * np.cos(2 * np.pi * ph * 0.5) - rot_amp * 0.5,
+                rot_amp * 0.5 * np.sin(2 * np.pi * ph * 0.25),
+            ], np.float32)
+            # pose maps world->cam: camera moved by exp(xi) => pose = exp(xi)^-1
+            pose = se3.inverse(se3.exp(jnp.asarray(xi)))
+            poses.append(np.asarray(pose))
+        return poses
+
+    def sequence(self, n_frames: int, **kw):
+        poses = self.trajectory(n_frames, **kw)
+        return [(self.render(p), p) for p in poses]

@@ -91,3 +91,84 @@ def extract_patches(img: jnp.ndarray, centers: jnp.ndarray, half: int):
     """
     pos = patch_grid(centers, half)
     return bilinear(img, pos)
+
+
+def bilinear_indexed(imgs: jnp.ndarray, k: jnp.ndarray,
+                     xy: jnp.ndarray) -> jnp.ndarray:
+    """Sample a *stack* of images (K, H, W) — image ``k[i]`` at ``xy[i]``.
+
+    ``k`` broadcasts against the leading dims of ``xy``. One fused gather:
+    this is how per-point anchor-keyframe patches are read out of the
+    keyframe store without materializing (N, H, W) copies.
+    """
+    K, H, W = imgs.shape
+    x, y = xy[..., 0], xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, wy = x - x0, y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    kk = jnp.broadcast_to(k, x0i.shape)
+    f = imgs.astype(jnp.float32)
+    v00 = f[kk, y0i, x0i]
+    v01 = f[kk, y0i, x1i]
+    v10 = f[kk, y1i, x0i]
+    v11 = f[kk, y1i, x1i]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def bilinear_indexed_pyramid(pyr_stack, k: jnp.ndarray, level: jnp.ndarray,
+                             xy_l0: jnp.ndarray) -> jnp.ndarray:
+    """Stacked-pyramid sampling with per-element image index AND level.
+
+    ``pyr_stack`` is a tuple of (K, H/2^l, W/2^l) arrays. ``level``
+    broadcasts against ``xy_l0``'s leading dims (level-0 coordinates).
+    """
+    out = None
+    for l, imgs in enumerate(pyr_stack):
+        v = bilinear_indexed(imgs, k, xy_l0 / (1 << l))
+        out = v if out is None else jnp.where(level == l, v, out)
+    return out
+
+
+def bilinear_pyramid(pyr, level: jnp.ndarray, xy_l0: jnp.ndarray) -> jnp.ndarray:
+    """Sample a pyramid at a *per-element dynamic* level.
+
+    ``pyr`` is a tuple of (H/2^l, W/2^l) images; ``level`` broadcasts against
+    the leading dims of ``xy_l0`` (level-0 pixel coords). Pyramid levels have
+    different static shapes, so a dynamic index is impossible; instead every
+    level is sampled and the result selected per lane — levels is small (5)
+    and the VPU eats the redundancy, which beats host-side bucketing by level
+    (the reference's scalar code just branches per feature,
+    matcher.cc:123-230).
+    """
+    out = None
+    for l, img in enumerate(pyr):
+        v = bilinear(img, xy_l0 / (1 << l))
+        out = v if out is None else jnp.where(level == l, v, out)
+    return out
+
+
+def extract_patches_pyramid(pyr, level: jnp.ndarray, centers_l0: jnp.ndarray,
+                            half: int):
+    """Square patches sampled at each feature's own pyramid level.
+
+    ``centers_l0`` (N, 2) in level-0 coords; patch offsets are applied in
+    *level* pixels (so the patch covers 2^l times more level-0 area at
+    level l). Returns (N, s, s).
+    """
+    s = 2 * half
+    d = jnp.arange(s, dtype=jnp.float32) - half
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    offs = jnp.stack([ox, oy], axis=-1)  # (s, s, 2)
+    out = None
+    for l, img in enumerate(pyr):
+        pos = centers_l0[:, None, None, :] / (1 << l) + offs[None]
+        v = bilinear(img, pos)
+        sel = (level == l)[:, None, None]
+        out = v if out is None else jnp.where(sel, v, out)
+    return out

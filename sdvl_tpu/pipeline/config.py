@@ -1,0 +1,168 @@
+"""Configuration: all algorithm knobs as an explicit, immutable dataclass.
+
+Replaces the reference's Meyers-singleton Config with static getters
+(reference config.{h,cc}). Parameter names and defaults mirror
+config_example.cfg / config.cc:33-86 so the reference's dataset preset files
+(`config/config_*.cfg`, OpenCV-YAML) load directly via :func:`load_cfg`.
+Capacities (features, keyframes, points) double as the *static tensor
+shapes* of the whole pipeline, so a SdvlConfig value is part of the jit
+cache key (hence frozen/hashable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    width: int = 640
+    height: int = 480
+    fx: float = 517.3
+    fy: float = 516.5
+    u0: float = 318.6
+    v0: float = 255.3
+    dist: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SdvlConfig:
+    """Algorithm parameters (reference SDVL.* keys, config.cc:33-86)."""
+
+    cell_size: int = 32
+    min_avg_shift: float = 50.0
+    max_matches: int = 150
+    max_keyframes: int = 100
+    use_orb: bool = False
+    pyramid_levels: int = 5
+    min_keyframe_its: int = 30
+    min_matches: int = 20
+    max_failed: int = 15
+    max_search_keyframes: int = 5
+    max_optim_pose_its: int = 10
+    max_ransac_points: int = 5
+    max_ransac_its: int = 100
+    threshold_converged: float = 0.1
+    min_init_corners: int = 50
+    inlier_error_threshold: float = 2.0
+    map_scale: float = 1.0
+    max_align_level: int = 4
+    min_align_level: int = 2
+    max_img_align_its: int = 30
+    align_patch_size: int = 4
+    scale_min_dist: float = 0.25
+    lost_ratio: float = 0.7
+    patch_size: int = 8
+    max_align_its: int = 10
+    search_size: int = 6
+    orb_size: int = 31
+    max_fast_levels: int = 3
+    fast_threshold: float = 10.0
+    min_feature_score: float = 50.0
+    num_features: int = 1000
+
+    # --- TPU-native capacities (static shapes; no reference analogue —
+    # the reference grows std::vectors, we preallocate masked slots) ---
+    max_points: int = 4096        # world-point slots
+    max_candidates: int = 1024    # depth-filter candidate slots
+    max_frame_feats: int = 512    # tracked features per frame
+    ransac_hypotheses: int = 64   # vmapped pose-RANSAC lanes
+    epipolar_samples: int = 32    # samples along the epipolar segment
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoConfig:
+    type: int = 1
+    path: str = ""
+    filename: str = "files.txt"
+    fps: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    camera: CameraConfig = CameraConfig()
+    sdvl: SdvlConfig = SdvlConfig()
+    video: VideoConfig = VideoConfig()
+
+
+_KEYMAP = {
+    # SDVL.* cfg key -> SdvlConfig field (only where names differ)
+    "max_alignLevel": "max_align_level",
+    "min_alignLevel": "min_align_level",
+}
+
+
+def _parse_opencv_yaml(path: str) -> dict:
+    """Minimal OpenCV-YAML (flat `A.b: value`) parser.
+
+    The reference reads these via cv::FileStorage (config.cc:88-164); the
+    files are flat key/value so a regex parse keeps cv2 out of the core
+    import path.
+    """
+    out = {}
+    pat = re.compile(r"^\s*([A-Za-z0-9_.]+)\s*:\s*(.+?)\s*(#.*)?$")
+    with open(path) as f:
+        for line in f:
+            if line.strip().startswith(("#", "%")):
+                continue
+            m = pat.match(line)
+            if not m:
+                continue
+            key, raw = m.group(1), m.group(2).strip()
+            if raw.startswith('"') and raw.endswith('"'):
+                out[key] = raw[1:-1]
+            else:
+                try:
+                    out[key] = int(raw)
+                except ValueError:
+                    try:
+                        out[key] = float(raw)
+                    except ValueError:
+                        out[key] = raw
+    return out
+
+
+def load_cfg(path: str) -> Config:
+    """Load a reference-format .cfg (e.g. /root/reference/config/*.cfg)."""
+    kv = _parse_opencv_yaml(path)
+
+    cam = CameraConfig(
+        width=int(kv.get("Camera.width", 640)),
+        height=int(kv.get("Camera.height", 480)),
+        fx=float(kv.get("Camera.fx", 517.3)),
+        fy=float(kv.get("Camera.fy", 516.5)),
+        u0=float(kv.get("Camera.u0", 318.6)),
+        v0=float(kv.get("Camera.v0", 255.3)),
+        dist=tuple(float(kv.get(f"Camera.d{i}", 0.0)) for i in range(1, 6)),
+    )
+    video = VideoConfig(
+        type=int(kv.get("Video.type", 1)),
+        path=str(kv.get("Video.path", "")),
+        filename=str(kv.get("Video.filename", "files.txt")),
+        fps=float(kv.get("Video.fps", 30.0)),
+    )
+    sdvl_kwargs = {}
+    fields = {f.name for f in dataclasses.fields(SdvlConfig)}
+    for key, value in kv.items():
+        if not key.startswith("SDVL."):
+            continue
+        name = key[5:]
+        name = _KEYMAP.get(name, name)
+        if name in fields:
+            if name == "use_orb":
+                value = bool(value)
+            sdvl_kwargs[name] = value
+    return Config(camera=cam, sdvl=SdvlConfig(**sdvl_kwargs), video=video)
+
+
+def intrinsics(cfg: Config):
+    """Build the jittable Intrinsics pytree from a Config."""
+    from ..core.camera import Intrinsics
+
+    c = cfg.camera
+    return Intrinsics.create(
+        c.fx, c.fy, c.u0, c.v0, dist=list(c.dist),
+        width=c.width, height=c.height,
+    )

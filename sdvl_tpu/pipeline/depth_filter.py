@@ -1,0 +1,215 @@
+"""Bayesian inverse-depth filter: candidate seeding, update, promotion.
+
+TPU-native replacement for the reference's Point filter lifecycle (reference
+point.{h,cc} + Map::InitCandidates/UpdateCandidates, map.cc:262-498): the
+Vogiatzis Beta x Gaussian inverse-depth model (point.cc:63-100), the
+one-pixel epipolar error angle tau (point.cc:186-198, camera.h:104-107),
+convergence (point.cc:162-176) and failure-based deletion (point.cc:103-116).
+
+The reference updates one candidate at a time inside the mapping thread's
+polling loop; here the whole candidate table updates as fused elementwise
+tensor ops after one batched epipolar search.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core import se3
+from ..ops import fast as fast_ops
+from ..state.map_state import MapState, alloc_slots
+from .matcher import EpipolarResult, epipolar_search
+
+
+def compute_tau(T_ref_cur_t: jnp.ndarray, bearing: jnp.ndarray,
+                z: jnp.ndarray, px_error_angle: jnp.ndarray) -> jnp.ndarray:
+    """Depth measurement std dev from one pixel of epipolar error.
+
+    Law-of-sines construction identical to reference ComputeTau
+    (point.cc:186-198): ``t`` is the translation from anchor to current
+    camera in anchor coordinates.
+    """
+    t = T_ref_cur_t
+    tn = jnp.linalg.norm(t, axis=-1).clip(1e-9)
+    a = bearing * z[..., None] - t
+    an = jnp.linalg.norm(a, axis=-1).clip(1e-9)
+    alpha = jnp.arccos(jnp.clip(jnp.sum(bearing * t, -1) / tn, -1, 1))
+    beta = jnp.arccos(jnp.clip(-jnp.sum(a * t, -1) / (an * tn), -1, 1))
+    beta_plus = beta + px_error_angle
+    gamma = jnp.pi - alpha - beta_plus
+    z_plus = tn * jnp.sin(beta_plus) / jnp.maximum(jnp.sin(gamma), 1e-6)
+    return jnp.abs(z_plus - z)
+
+
+def vogiatzis_update(rho, sigma2, a, b, x, tau2, rho_range):
+    """One Beta x Gaussian inverse-depth filter step (point.cc:63-100).
+
+    ``x`` is the inverse-depth measurement, ``tau2`` its variance,
+    ``rho_range`` the uniform-outlier support. All args broadcast.
+    """
+    norm_scale = jnp.sqrt(sigma2 + tau2).clip(1e-12)
+    s2 = 1.0 / (1.0 / sigma2.clip(1e-12) + 1.0 / tau2.clip(1e-12))
+    mm = s2 * (rho / sigma2.clip(1e-12) + x / tau2.clip(1e-12))
+    gauss = jnp.exp(-0.5 * ((x - rho) / norm_scale) ** 2) / (
+        norm_scale * jnp.sqrt(2.0 * jnp.pi)
+    )
+    c1 = a / (a + b) * gauss
+    c2 = b / (a + b) / rho_range.clip(1e-12)
+    norm = (c1 + c2).clip(1e-12)
+    c1, c2 = c1 / norm, c2 / norm
+
+    f = c1 * (a + 1.0) / (a + b + 1.0) + c2 * a / (a + b + 1.0)
+    e = (
+        c1 * (a + 1.0) * (a + 2.0) / ((a + b + 1.0) * (a + b + 2.0))
+        + c2 * a * (a + 1.0) / ((a + b + 1.0) * (a + b + 2.0))
+    )
+    rho_new = c1 * mm + c2 * rho
+    sigma2_new = (
+        c1 * (s2 + mm * mm) + c2 * (sigma2 + rho * rho) - rho_new * rho_new
+    )
+    # NB: numerator and denominator are both typically negative here —
+    # guard magnitude only, never the sign.
+    denom = f - e / f.clip(1e-12)
+    denom = jnp.where(jnp.abs(denom) < 1e-12,
+                      jnp.where(denom < 0, -1e-12, 1e-12), denom)
+    a_new = (e - f) / denom
+    b_new = a_new * (1.0 - f) / f.clip(1e-12)
+    return rho_new, sigma2_new.clip(1e-12), a_new.clip(1e-4), b_new.clip(1e-4)
+
+
+def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
+                      n_samples: int = 32, max_failed: int = 15) -> MapState:
+    """Epipolar-match every candidate and update its depth filter.
+
+    Mirrors Map::UpdateCandidates (map.cc:402-498): match -> triangulate ->
+    Bayesian update; misses bump the fail counter; candidates with more
+    evidence for outlier than inlier (b > 2a after warm-up) or too many
+    failures are freed.
+    """
+    res: EpipolarResult = epipolar_search(
+        m, intr, cur_pyr, pose_cur, n_samples=n_samples
+    )
+
+    T_cur_ref = se3.compose(pose_cur[None], se3.inverse(m.kf_pose[m.cand_kf]))
+    # translation anchor->cur expressed in anchor frame
+    t_ref = se3.translation(se3.inverse(T_cur_ref))
+    z = jnp.maximum(res.depth_anchor, 1e-6)
+    tau = compute_tau(t_ref, m.cand_bearing, z, cam.pixel_error_angle(intr))
+    # convert depth variance to inverse-depth variance
+    tau_inv = 0.5 * (1.0 / jnp.maximum(z - tau, 1e-6)
+                     - 1.0 / (z + tau))
+    x = 1.0 / z
+    rho_range = m.cand_rho + 4.0 * jnp.sqrt(m.cand_sigma2)
+
+    rho_n, sig_n, a_n, b_n = vogiatzis_update(
+        m.cand_rho, m.cand_sigma2, m.cand_a, m.cand_b,
+        x, tau_inv * tau_inv, rho_range,
+    )
+    upd = res.ok & m.cand_valid
+    m = m._replace(
+        cand_rho=jnp.where(upd, rho_n, m.cand_rho),
+        cand_sigma2=jnp.where(upd, sig_n, m.cand_sigma2),
+        cand_a=jnp.where(upd, a_n, m.cand_a),
+        cand_b=jnp.where(upd, b_n, m.cand_b),
+        cand_fail=jnp.where(
+            upd, 0, m.cand_fail + (res.attempted & ~res.ok).astype(jnp.int32)
+        ),
+    )
+    # deletion (point.cc:103-116 + inlier-ratio test)
+    n_upd = m.cand_a + m.cand_b
+    bad = (m.cand_fail > max_failed) | ((n_upd > 20) & (m.cand_b > 2 * m.cand_a))
+    return m._replace(cand_valid=m.cand_valid & ~bad)
+
+
+def promote_converged(m: MapState, threshold_converged: float = 0.1,
+                      min_inlier_ratio: float = 0.6) -> MapState:
+    """Move converged candidates into the point store.
+
+    Convergence mirrors point.cc:162-176: the depth interval spanned by
+    +-2 sigma in inverse depth, relative to the current depth, must shrink
+    below the threshold; plus the Beta inlier ratio must support it.
+    """
+    sigma = jnp.sqrt(m.cand_sigma2)
+    z = 1.0 / jnp.maximum(m.cand_rho, 1e-6)
+    z_min = 1.0 / (m.cand_rho + 2 * sigma)
+    z_max = 1.0 / jnp.maximum(m.cand_rho - 2 * sigma, 1e-6)
+    ratio = m.cand_a / jnp.maximum(m.cand_a + m.cand_b, 1e-6)
+    converged = (
+        m.cand_valid
+        & ((z_max - z_min) / z < threshold_converged)
+        & (ratio > min_inlier_ratio)
+        & (m.cand_rho > 1e-6)
+    )
+
+    slots, ok = alloc_slots(~m.pt_valid, converged)
+    p_anchor = m.cand_bearing * z[:, None]
+    T_w_anchor = se3.inverse(m.kf_pose[m.cand_kf])
+    p_world = se3.transform(T_w_anchor, p_anchor)
+
+    P = m.pt_valid.shape[0]
+    m = m._replace(
+        pt_pos=m.pt_pos.at[slots].set(p_world, mode="drop"),
+        pt_valid=m.pt_valid.at[slots].set(True, mode="drop"),
+        pt_anchor_kf=m.pt_anchor_kf.at[slots].set(m.cand_kf, mode="drop"),
+        pt_fail=m.pt_fail.at[slots].set(0, mode="drop"),
+        pt_found=m.pt_found.at[slots].set(1, mode="drop"),
+        obs_mask=m.obs_mask.at[m.cand_kf, slots].set(True, mode="drop"),
+        obs_px=m.obs_px.at[m.cand_kf, slots].set(m.cand_px, mode="drop"),
+        obs_level=m.obs_level.at[m.cand_kf, slots].set(
+            m.cand_level, mode="drop"
+        ),
+        cand_valid=m.cand_valid & ~ok,
+    )
+    return m
+
+
+def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
+                    scene_depth_median: jnp.ndarray, cell: int) -> MapState:
+    """Seed new candidates at detected corners of a new keyframe.
+
+    Mirrors Map::InitCandidates (map.cc:262-400): corners in cells not
+    already holding a tracked observation become inverse-depth seeds at
+    rho = 1/median scene depth with a wide prior (sigma covering
+    (0, 2/median]).
+    """
+    corner_xy, corner_level, corner_valid = fs_corners
+    H, W = fs_pyr[0].shape
+
+    # Suppress cells already occupied by observations of this keyframe
+    occ = fast_ops.occupied_cells(
+        m.obs_px[kf_slot], m.obs_mask[kf_slot], H, W, cell
+    )
+    gw = W // cell
+    ccx = jnp.clip((corner_xy[:, 0] // cell).astype(jnp.int32), 0, gw - 1)
+    ccy = jnp.clip((corner_xy[:, 1] // cell).astype(jnp.int32), 0, H // cell - 1)
+    free_cell = ~occ[ccy * gw + ccx]
+    new_valid = corner_valid & free_cell
+
+    slots, ok = alloc_slots(~m.cand_valid, new_valid)
+    rho0 = 1.0 / jnp.maximum(scene_depth_median, 1e-6)
+    sigma0 = rho0 / 3.0  # ~95% mass within (0, ~1.7*rho0]: wide prior
+    bearing = cam.unproject(intr, corner_xy)
+
+    n = corner_xy.shape[0]
+    return m._replace(
+        cand_valid=m.cand_valid.at[slots].set(True, mode="drop"),
+        cand_kf=m.cand_kf.at[slots].set(
+            jnp.full((n,), kf_slot, jnp.int32), mode="drop"
+        ),
+        cand_px=m.cand_px.at[slots].set(corner_xy, mode="drop"),
+        cand_level=m.cand_level.at[slots].set(corner_level, mode="drop"),
+        cand_bearing=m.cand_bearing.at[slots].set(bearing, mode="drop"),
+        cand_rho=m.cand_rho.at[slots].set(
+            jnp.full((n,), rho0, jnp.float32), mode="drop"
+        ),
+        cand_sigma2=m.cand_sigma2.at[slots].set(
+            jnp.full((n,), sigma0 * sigma0, jnp.float32), mode="drop"
+        ),
+        cand_a=m.cand_a.at[slots].set(jnp.full((n,), 10.0), mode="drop"),
+        cand_b=m.cand_b.at[slots].set(jnp.full((n,), 10.0), mode="drop"),
+        cand_fail=m.cand_fail.at[slots].set(0, mode="drop"),
+    )

@@ -1,0 +1,256 @@
+"""Map maintenance: keyframe insertion, candidate updates, local BA, pruning.
+
+TPU-native replacement for the reference's mapping thread work items
+(reference map.{h,cc}): AddKeyframe (map.cc:145-158), InitCandidates seeding
+(map.cc:262-400), UpdateCandidates (map.cc:402-498), connection upkeep
+(map.cc:500-617), redundant-keyframe pruning (map.cc:619-687), keyframe-cap
+eviction (map.cc:190-205) and BundleAdjustment windowing (map.cc:844-869).
+
+The reference runs these on a second std::thread behind one mutex; here each
+is a pure ``MapState -> MapState`` function. The scheduler (pipeline.sdvl /
+runtime) decides whether they run inline with tracking ("sequential mode",
+main.cc:97) or overlapped on a different device/stream.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core import geometry, se3
+from ..solvers import ba
+from ..state.map_state import (MapState, alloc_slots, best_connections,
+                               covisibility, kf_slot_to_evict)
+from . import depth_filter
+
+
+def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
+                 frame_id: jnp.ndarray, match_pt_idx: jnp.ndarray,
+                 match_px: jnp.ndarray, match_ok: jnp.ndarray,
+                 corners_xy: jnp.ndarray, corners_level: jnp.ndarray,
+                 corners_valid: jnp.ndarray, cell: int):
+    """Insert the current frame as a keyframe.
+
+    Combines reference AddKeyframe + CheckConnections + InitCandidates
+    (map.cc:145-158, 262-400, 500-558): stores the pyramid and pose, writes
+    the frame's matches as observations into the dense (K, P) structure
+    (covisibility then needs no separate bookkeeping), and seeds new
+    depth-filter candidates in unoccupied grid cells. If the keyframe store
+    is full the furthest keyframe is evicted (map.cc:190-205) — its
+    observation row, anchored candidates, and anchored points' anchors die
+    with it.
+    """
+    K, P, C = m.capacities
+
+    cur_pos = se3.translation(se3.inverse(pose))
+    evict = kf_slot_to_evict(m, cur_pos)
+    full = jnp.sum(~m.kf_valid) == 0
+    # free slot: first invalid, else evicted slot
+    first_free = jnp.argmax(~m.kf_valid)
+    slot = jnp.where(full, evict, first_free).astype(jnp.int32)
+
+    # clear any state anchored to the slot being reused
+    m = m._replace(
+        obs_mask=m.obs_mask.at[slot].set(False),
+        cand_valid=m.cand_valid & (m.cand_kf != slot),
+        # points anchored at the dying keyframe lose their patch source;
+        # re-anchoring would need a search, so they are dropped (the
+        # reference deletes such points with the KF too, map.cc:190-205)
+        pt_valid=m.pt_valid & ~(full & (m.pt_anchor_kf == slot)),
+    )
+
+    # write keyframe
+    kf_pyr = tuple(
+        lvl.at[slot].set(img) for lvl, img in zip(m.kf_pyr, pyr)
+    )
+    m = m._replace(
+        kf_pose=m.kf_pose.at[slot].set(pose),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id.astype(jnp.int32)),
+        kf_pyr=kf_pyr,
+        n_keyframes=m.n_keyframes + 1,
+    )
+
+    # observations from this frame's matches
+    idx = jnp.where(match_ok & m.pt_valid[match_pt_idx], match_pt_idx, P)
+    m = m._replace(
+        obs_mask=m.obs_mask.at[slot, idx].set(True, mode="drop"),
+        obs_px=m.obs_px.at[slot, idx].set(match_px, mode="drop"),
+        obs_level=m.obs_level.at[slot, idx].set(0, mode="drop"),
+    )
+
+    # median scene depth of matched points (frame.cc:70-91 GetSceneDepth)
+    p_cam = se3.transform(pose[None], m.pt_pos[match_pt_idx])
+    depth_med = geometry.masked_median(
+        p_cam[:, 2], match_ok & (p_cam[:, 2] > 1e-6)
+    )
+    depth_med = jnp.where(depth_med > 1e-6, depth_med, 1.0)
+
+    m = depth_filter.seed_candidates(
+        m, intr, pyr, (corners_xy, corners_level, corners_valid), slot,
+        depth_med, cell,
+    )
+    return m, slot
+
+
+def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
+               n_samples: int = 32, threshold_converged: float = 0.1,
+               max_failed: int = 15) -> MapState:
+    """Per-frame mapper iteration (Map::UpdateMap, map.cc:73-143): update
+    all candidate depth filters against this frame, promote converged ones."""
+    m = depth_filter.update_candidates(
+        m, intr, cur_pyr, pose_cur, n_samples=n_samples,
+        max_failed=max_failed,
+    )
+    return depth_filter.promote_converged(m, threshold_converged)
+
+
+class BAWindow(NamedTuple):
+    kf_idx: jnp.ndarray   # (Kw,) keyframe slots in window
+    pt_idx: jnp.ndarray   # (Pw,) point slots in window
+    problem: ba.BAProblem
+
+
+def extract_local_ba(m: MapState, intr, center_kf: jnp.ndarray,
+                     window: int = 10, max_points: int = 1024) -> BAWindow:
+    """Build the fixed-capacity local BA problem around ``center_kf``.
+
+    Mirrors Bundle::Local's gathering (bundle.cc:65-139 via map.cc:844-868):
+    the window is the center + its best covisible keyframes; all points they
+    observe join (capped at ``max_points`` by observation count); the two
+    oldest keyframes in the window are held fixed, pinning the 7-dof
+    monocular gauge (the reference instead fixes every outside observer KF).
+    """
+    K, P, _ = m.capacities
+    Kw = window + 1
+
+    conn_idx, conn_counts = best_connections(m, center_kf, window)
+    kf_idx = jnp.concatenate([center_kf[None], conn_idx])
+    kf_ok = jnp.concatenate(
+        [jnp.ones(1, bool), conn_counts > 0]
+    ) & m.kf_valid[kf_idx]
+
+    # points observed from the window, ranked by in-window observation count
+    obs_win = m.obs_mask[kf_idx] & kf_ok[:, None]        # (Kw, P)
+    n_obs = jnp.sum(obs_win, axis=0)
+    pt_ok = m.pt_valid & (n_obs >= 2)
+    order = jnp.argsort(
+        jnp.where(pt_ok, -n_obs.astype(jnp.float32), jnp.inf)
+    )
+    pt_idx = order[:max_points]
+    pt_sel_ok = pt_ok[pt_idx]
+
+    obs_mask = obs_win[:, pt_idx].T & pt_sel_ok[:, None]  # (Pw, Kw)
+    px = m.obs_px[kf_idx][:, pt_idx].transpose(1, 0, 2)   # (Pw, Kw, 2)
+    uv = jnp.stack([
+        (px[..., 0] - intr.cx) / intr.fx,
+        (px[..., 1] - intr.cy) / intr.fy,
+    ], -1)
+
+    # fix the two oldest valid window KFs (gauge incl. scale)
+    age = jnp.where(kf_ok, m.kf_frame_id[kf_idx], jnp.iinfo(jnp.int32).max)
+    order_age = jnp.argsort(age)
+    fixed = jnp.zeros(Kw, bool).at[order_age[:2]].set(True)
+    fixed = fixed | ~kf_ok
+
+    problem = ba.BAProblem(
+        poses=m.kf_pose[kf_idx],
+        fixed=fixed,
+        points=m.pt_pos[pt_idx],
+        obs_uv=uv,
+        obs_mask=obs_mask,
+    )
+    return BAWindow(kf_idx=kf_idx, pt_idx=pt_idx, problem=problem)
+
+
+def local_ba(m: MapState, intr, center_kf: jnp.ndarray, window: int = 10,
+             max_points: int = 1024) -> MapState:
+    """Local bundle adjustment + write-back (Map::BundleAdjustment,
+    map.cc:844-869; write-back mirrors bundle.cc:211-223). Gated
+    observations are removed from the dense structure like the reference
+    drops chi2>5.991 edges."""
+    win = extract_local_ba(m, intr, center_kf, window, max_points)
+    huber = jnp.sqrt(5.991) / jnp.minimum(intr.fx, intr.fy)
+    res = ba.solve(win.problem, huber=huber)
+
+    kf_ok = ~win.problem.fixed
+    new_kf_pose = jnp.where(
+        kf_ok[:, None], res.poses, win.problem.poses
+    )
+    m = m._replace(
+        kf_pose=m.kf_pose.at[win.kf_idx].set(new_kf_pose),
+        pt_pos=m.pt_pos.at[win.pt_idx].set(res.points),
+    )
+    # clear observations the BA gated out
+    removed = win.problem.obs_mask & ~res.inlier_mask       # (Pw, Kw)
+    obs_mask = m.obs_mask.at[
+        win.kf_idx[None, :], win.pt_idx[:, None]
+    ].min(~removed)
+    return m._replace(obs_mask=obs_mask)
+
+
+def prune_weak_points(m: MapState, min_obs: int = 2,
+                      grace_keyframes: int = 2) -> MapState:
+    """Drop points whose observation support collapsed (BA gating or KF
+    eviction can orphan them) — the reference deletes points when their
+    feature list empties (map.cc passim)."""
+    n_obs = jnp.sum(m.obs_mask & m.kf_valid[:, None], axis=0)
+    # points anchored at recent keyframes get a grace period to gather obs
+    anchor_age = m.kf_frame_id[m.pt_anchor_kf]
+    recent = anchor_age >= jnp.max(
+        jnp.where(m.kf_valid, m.kf_frame_id, -1)
+    ) - grace_keyframes
+    keep = (n_obs >= min_obs) | recent
+    return m._replace(pt_valid=m.pt_valid & keep)
+
+
+def check_redundant_keyframes(m: MapState) -> MapState:
+    """Prune keyframes whose points are redundantly observed.
+
+    Mirrors Map::CheckRedundantKeyframes (map.cc:619-687): a keyframe whose
+    observed points are >=80% also seen by >=3 other keyframes is dropped.
+    Scale-comparison subtleties of the reference are approximated by plain
+    observation counts (we don't store per-obs scale ratios). The newest two
+    keyframes are protected.
+    """
+    K, P, _ = m.capacities
+    n_obs_pt = jnp.sum(m.obs_mask & m.kf_valid[:, None], axis=0)  # (P,)
+    redundant_pt = n_obs_pt >= 4  # self + 3 others
+    per_kf_total = jnp.sum(m.obs_mask & m.pt_valid[None, :], axis=1)
+    per_kf_red = jnp.sum(
+        m.obs_mask & (redundant_pt & m.pt_valid)[None, :], axis=1
+    )
+    frac = per_kf_red / jnp.maximum(per_kf_total, 1)
+    newest = jnp.argsort(-jnp.where(m.kf_valid, m.kf_frame_id, -1))[:2]
+    protect = jnp.zeros(K, bool).at[newest].set(True)
+    # anchors: a KF that anchors live points can't die silently
+    anchors = jnp.zeros(K, bool).at[
+        jnp.where(m.pt_valid, m.pt_anchor_kf, K)
+    ].set(True, mode="drop")
+    drop = m.kf_valid & (frac > 0.8) & (per_kf_total > 10) & ~protect & ~anchors
+    # drop at most one per call (like one pass of the reference loop)
+    first = jnp.argmax(drop)
+    do = jnp.any(drop)
+    kf_valid = m.kf_valid.at[first].set(
+        jnp.where(do, False, m.kf_valid[first])
+    )
+    obs_mask = m.obs_mask.at[first].set(
+        jnp.where(do, jnp.zeros(P, bool), m.obs_mask[first])
+    )
+    cand_valid = jnp.where(
+        do & (m.cand_kf == first), False, m.cand_valid
+    )
+    return m._replace(kf_valid=kf_valid, obs_mask=obs_mask,
+                      cand_valid=cand_valid)
+
+
+def need_keyframe(n_matches, kf_matches, frames_since_kf,
+                  min_keyframe_its: int = 30, lost_ratio: float = 0.7):
+    """Keyframe policy (Map::NeedKeyframe, map.cc:170-188): enough frames
+    elapsed AND 10% of matches lost, OR 30% lost outright. Host-side scalars.
+    """
+    lost = 1.0 - n_matches / max(float(kf_matches), 1.0)
+    return (frames_since_kf >= min_keyframe_its and lost > 0.1) or lost > 0.3

@@ -1,0 +1,351 @@
+"""Top-level SLAM orchestrator: the host-side FSM over jitted device steps.
+
+TPU-native replacement for the reference's SDVL class + main loop glue
+(reference sdvl.{h,cc}: the FIRST_FRAME/SECOND_FRAME/RUNNING state machine
+sdvl.h:38-42, HandleFrame sdvl.cc:55-130, relocalization sdvl.cc:73-89 and
+205-238, motion model sdvl.cc:266-281, tracking quality sdvl.cc:240-264).
+
+Division of labor (SURVEY.md §7 "host/device split"):
+  * Everything per-pixel/per-point runs in a handful of jitted programs
+    with shapes fixed by the Config capacities.
+  * The FSM itself — a dozen scalar decisions per frame — runs in Python
+    on scalars pulled from the device (one small transfer per frame).
+
+Mapping runs inline by default ("sequential mode", reference main.cc:97);
+the async runtime (tracker/mapper overlap) lives in sdvl_tpu.runtime.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import camera as cam
+from ..core import se3
+from ..ops import fast as fast_ops
+from ..ops import interp, pyramid
+from ..solvers import image_align
+from ..state.map_state import MapState, alloc_slots, empty_map
+from . import bootstrap, mapper, matcher, relocalize, tracker
+from .config import Config, intrinsics
+
+
+class TrackingState(enum.Enum):
+    FIRST_FRAME = 0
+    SECOND_FRAME = 1
+    RUNNING = 2
+    LOST = 3
+
+
+class TrackingQuality(enum.Enum):
+    BAD = 0
+    INSUFFICIENT = 1
+    GOOD = 2
+
+
+class SDVL:
+    """The system facade (reference SDVL::HandleFrame/GetPose, sdvl.h:57-69)."""
+
+    def __init__(self, config: Config, seed: int = 0):
+        self.cfg = config
+        s = config.sdvl
+        self.intr = intrinsics(config)
+        self.levels = s.pyramid_levels
+        H, W = config.camera.height, config.camera.width
+        div = 1 << (self.levels - 1)
+        self.crop_h = (H // div) * div
+        self.crop_w = (W // div) * div
+
+        self.m: MapState = empty_map(
+            n_kf=s.max_keyframes, n_pts=s.max_points,
+            n_cand=s.max_candidates, img_shape=(self.crop_h, self.crop_w),
+            levels=self.levels,
+        )
+        self._undistort_grid = None
+        if any(abs(d) > 1e-12 for d in config.camera.dist):
+            self._undistort_grid = cam.undistort_map(self.intr)[
+                : self.crop_h, : self.crop_w
+            ]
+
+        self.state = TrackingState.FIRST_FRAME
+        self.quality = TrackingQuality.GOOD
+        self.frame_id = 0
+        self.frames_since_kf = 0
+        self.kf_matches = 1
+        self.lost_frames = 0
+        self.key = jax.random.PRNGKey(seed)
+
+        # device-side inter-frame state
+        self.last_pyr = None
+        self.last_pose = se3.identity()
+        self.xi_model = jnp.zeros(6, jnp.float32)
+        self.last_match_idx = None
+        self.last_match_ok = None
+        self._first_fs = None
+        self.trajectory = []  # (frame_id, pose 7) host copies
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jit
+    def _build_jits(self):
+        s = self.cfg.sdvl
+        intr = self.intr
+        grid = self._undistort_grid
+
+        @jax.jit
+        def _preprocess(img):
+            img = img.astype(jnp.float32)
+            if grid is not None:
+                img = interp.remap(img, grid)
+            pyr = pyramid.build_pyramid(img, self.levels)
+            corners = fast_ops.detect_pyramid(
+                pyr, levels=s.max_fast_levels, cell=s.cell_size,
+                fast_threshold=s.fast_threshold,
+                st_threshold=s.min_feature_score,
+            )
+            return pyr, corners
+
+        @jax.jit
+        def _bootstrap(pyr1, pyr2, corners_xy, corners_valid, key):
+            return bootstrap.init_two_view(
+                intr, pyr1, pyr2, corners_xy, corners_valid, key,
+                map_scale=s.map_scale,
+                thresh_px=s.inlier_error_threshold,
+                min_corners=s.min_init_corners,
+            )
+
+        @jax.jit
+        def _seed_map(m: MapState, pyr1, pyr2, boot, corners2_xy,
+                      corners2_level, corners2_valid):
+            """Write the two bootstrap keyframes + triangulated points."""
+            pose1 = se3.identity()
+            kf_pyr = tuple(
+                lvl.at[0].set(i1).at[1].set(i2)
+                for lvl, i1, i2 in zip(m.kf_pyr, pyr1, pyr2)
+            )
+            m = m._replace(
+                kf_pose=m.kf_pose.at[0].set(pose1).at[1].set(boot.pose2),
+                kf_valid=m.kf_valid.at[0].set(True).at[1].set(True),
+                kf_frame_id=m.kf_frame_id.at[0].set(0).at[1].set(1),
+                kf_pyr=kf_pyr,
+                n_keyframes=jnp.asarray(2, jnp.int32),
+            )
+            slots, ok = alloc_slots(~m.pt_valid, boot.inlier)
+            m = m._replace(
+                pt_pos=m.pt_pos.at[slots].set(boot.pts_w, mode="drop"),
+                pt_valid=m.pt_valid.at[slots].set(True, mode="drop"),
+                pt_anchor_kf=m.pt_anchor_kf.at[slots].set(0, mode="drop"),
+                pt_found=m.pt_found.at[slots].set(2, mode="drop"),
+                pt_fail=m.pt_fail.at[slots].set(0, mode="drop"),
+                obs_mask=m.obs_mask.at[0, slots].set(True, mode="drop")
+                                   .at[1, slots].set(True, mode="drop"),
+                obs_px=m.obs_px.at[0, slots].set(boot.px1, mode="drop")
+                               .at[1, slots].set(boot.px2, mode="drop"),
+            )
+            # seed depth-filter candidates from the 2nd frame's corners
+            from . import depth_filter
+            depth_med = jnp.asarray(s.map_scale, jnp.float32)
+            m = depth_filter.seed_candidates(
+                m, intr, pyr2, (corners2_xy, corners2_level, corners2_valid),
+                jnp.asarray(1, jnp.int32), depth_med, s.cell_size,
+            )
+            return m
+
+        @jax.jit
+        def _track(m, last_pyr, last_idx, last_ok, pose_last, cur_pyr,
+                   pose_pred):
+            tr = tracker.track_frame(
+                m, intr, last_pyr, last_idx, last_ok, pose_last,
+                cur_pyr, pose_pred,
+                cell=s.cell_size, align_max_level=s.max_align_level,
+                align_min_level=s.min_align_level,
+                align_iters=s.max_img_align_its // 3,
+                pose_iters=s.max_optim_pose_its,
+                inlier_thresh_px=s.inlier_error_threshold,
+            )
+            m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
+            return m, tr
+
+        @jax.jit
+        def _update_map(m, cur_pyr, pose):
+            return mapper.update_map(
+                m, intr, cur_pyr, pose,
+                n_samples=s.epipolar_samples,
+                threshold_converged=s.threshold_converged,
+                max_failed=s.max_failed,
+            )
+
+        @jax.jit
+        def _add_keyframe(m, pyr, pose, frame_id, match_idx, match_px,
+                          match_ok, corners_xy, corners_level, corners_valid):
+            return mapper.add_keyframe(
+                m, intr, pyr, pose, frame_id, match_idx, match_px, match_ok,
+                corners_xy, corners_level, corners_valid, s.cell_size,
+            )
+
+        @functools.partial(jax.jit, static_argnames=("window", "max_points"))
+        def _local_ba(m, center, window=10, max_points=512):
+            return mapper.local_ba(m, intr, center, window=window,
+                                   max_points=max_points)
+
+        @jax.jit
+        def _motion_update(xi_prev, pose_new, pose_old):
+            return tracker.motion_model_update(xi_prev, pose_new, pose_old)
+
+        @jax.jit
+        def _predict(xi_model, pose_last):
+            return se3.compose(se3.exp(xi_model), pose_last)
+
+        @jax.jit
+        def _relocalize(m, cur_pyr, pose_guess):
+            return relocalize.relocalize(m, intr, cur_pyr, pose_guess)
+
+        @jax.jit
+        def _prune(m):
+            m = mapper.prune_weak_points(m)
+            return mapper.check_redundant_keyframes(m)
+
+        self._preprocess = _preprocess
+        self._bootstrap = _bootstrap
+        self._seed_map = _seed_map
+        self._track = _track
+        self._update_map = _update_map
+        self._add_keyframe = _add_keyframe
+        self._local_ba = _local_ba
+        self._motion_update = _motion_update
+        self._predict = _predict
+        self._relocalize = _relocalize
+        self._prune = _prune
+
+    # ----------------------------------------------------------------- util
+    def _crop(self, img: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(img[: self.crop_h, : self.crop_w])
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def get_pose(self) -> np.ndarray:
+        """Current world->cam pose (7,) like SDVL::GetPose (sdvl.cc:347)."""
+        return np.asarray(self.last_pose)
+
+    # ------------------------------------------------------------ main loop
+    def handle_frame(self, img: np.ndarray) -> dict:
+        """Process one grayscale frame; returns a status dict.
+
+        Mirrors SDVL::HandleFrame (sdvl.cc:55-130). ``img`` is (H, W)
+        grayscale, uint8 or float.
+        """
+        s = self.cfg.sdvl
+        pyr, corners = self._preprocess(self._crop(img))
+        info = {"frame_id": self.frame_id, "state": self.state.name,
+                "n_matches": 0, "n_attempts": 0, "keyframe": False}
+
+        if self.state == TrackingState.FIRST_FRAME:
+            n_corners = int(corners.valid.sum())
+            if n_corners >= s.min_init_corners:
+                self._first_fs = (pyr, corners)
+                self.state = TrackingState.SECOND_FRAME
+            info["n_corners"] = n_corners
+
+        elif self.state == TrackingState.SECOND_FRAME:
+            pyr1, corners1 = self._first_fs
+            boot = self._bootstrap(
+                pyr1, pyr, corners1.xy, corners1.valid, self._next_key()
+            )
+            med_shift = float(boot.median_shift)
+            n_inl = int(boot.n_inliers)
+            info.update(median_shift=med_shift, n_inliers=n_inl)
+            if not bool(boot.ok_flow):
+                # flow collapsed: restart from scratch (sdvl.cc:156-160)
+                self.state = TrackingState.FIRST_FRAME
+                self._first_fs = None
+            elif med_shift >= s.min_avg_shift and n_inl >= s.min_init_corners:
+                self.m = self._seed_map(
+                    self.m, pyr1, pyr, boot,
+                    corners.xy, corners.level, corners.valid,
+                )
+                self.m = self._local_ba(self.m, jnp.asarray(1, jnp.int32),
+                                        window=1)
+                self.last_pose = boot.pose2
+                # initial match set = the seeded points' obs in KF1
+                mr = matcher.match_map_points(
+                    self.m, self.intr, pyr, boot.pose2, cell=s.cell_size
+                )
+                self.last_match_idx = mr.pt_idx
+                self.last_match_ok = mr.ok
+                self.kf_matches = max(int(mr.ok.sum()), 1)
+                self.state = TrackingState.RUNNING
+                self.frames_since_kf = 0
+                info["keyframe"] = True
+            # else: wait for more parallax (stay in SECOND_FRAME)
+
+        elif self.state in (TrackingState.RUNNING, TrackingState.LOST):
+            if self.state == TrackingState.LOST:
+                rl = self._relocalize(self.m, pyr, self.last_pose)
+                pose_pred = rl.pose
+            else:
+                pose_pred = self._predict(self.xi_model, self.last_pose)
+
+            self.m, tr = self._track(
+                self.m, self.last_pyr, self.last_match_idx,
+                self.last_match_ok, self.last_pose, pyr, pose_pred,
+            )
+            n_matches = int(tr.n_matches)
+            n_attempts = int(tr.n_attempts)
+            info.update(n_matches=n_matches, n_attempts=n_attempts)
+
+            ratio = n_matches / max(n_attempts, 1)
+            if n_matches < s.min_matches:
+                self.quality = TrackingQuality.BAD
+            elif ratio < 0.2:
+                self.quality = TrackingQuality.INSUFFICIENT
+            else:
+                self.quality = TrackingQuality.GOOD
+
+            if self.quality == TrackingQuality.BAD:
+                self.lost_frames += 1
+                if self.lost_frames >= 3:
+                    self.state = TrackingState.LOST
+                # pose not trusted; keep motion-model prediction
+                self.last_pose = pose_pred
+            else:
+                self.lost_frames = 0
+                self.xi_model, _ = self._motion_update(
+                    self.xi_model, tr.pose, self.last_pose
+                )
+                self.last_pose = tr.pose
+                self.state = TrackingState.RUNNING
+
+                self.frames_since_kf += 1
+                if mapper.need_keyframe(
+                    n_matches, self.kf_matches, self.frames_since_kf,
+                    min_keyframe_its=s.min_keyframe_its,
+                    lost_ratio=s.lost_ratio,
+                ):
+                    self.m, slot = self._add_keyframe(
+                        self.m, pyr, tr.pose,
+                        jnp.asarray(self.frame_id, jnp.int32),
+                        tr.match_pt_idx, tr.match_px, tr.match_ok,
+                        corners.xy, corners.level, corners.valid,
+                    )
+                    self.m = self._local_ba(self.m, slot)
+                    self.m = self._prune(self.m)
+                    self.kf_matches = max(n_matches, 1)
+                    self.frames_since_kf = 0
+                    info["keyframe"] = True
+
+                self.m = self._update_map(self.m, pyr, self.last_pose)
+                self.last_match_idx = tr.match_pt_idx
+                self.last_match_ok = tr.match_ok
+
+        self.last_pyr = pyr
+        self.trajectory.append((self.frame_id, np.asarray(self.last_pose)))
+        self.frame_id += 1
+        info["pose"] = np.asarray(self.last_pose)
+        return info

@@ -91,3 +91,31 @@ def align_patches(img: jnp.ndarray, ref_patches: jnp.ndarray,
     )
     converged = valid & inb & (shift < max_shift)
     return AlignResult(xy=xy, converged=converged, error=err)
+
+
+def align_patches_pyramid(pyr, level: jnp.ndarray, ref_patches: jnp.ndarray,
+                          init_xy_l0: jnp.ndarray, valid: jnp.ndarray,
+                          iters: int = 10, max_shift: float = 16.0
+                          ) -> AlignResult:
+    """Per-lane dynamic-level LK: each feature aligns at its own pyramid
+    level (the reference picks a search level per feature from the warp
+    determinant, matcher.cc:314-323, then aligns there).
+
+    Levels have distinct static shapes, so each level's alignment runs for
+    all lanes and the per-lane result is selected — `levels` is small and
+    lanes are cheap; this keeps one jitted program instead of host-side
+    bucketing. Positions in/out are level-0 pixel coordinates.
+    """
+    out_xy = None
+    for l, img in enumerate(pyr):
+        res = align_patches(img, ref_patches, init_xy_l0 / (1 << l), valid,
+                            iters=iters, max_shift=max_shift / (1 << l))
+        sel = level == l
+        xy_l0 = res.xy * (1 << l)
+        if out_xy is None:
+            out_xy, out_conv, out_err = xy_l0, res.converged, res.error
+        else:
+            out_xy = jnp.where(sel[:, None], xy_l0, out_xy)
+            out_conv = jnp.where(sel, res.converged, out_conv)
+            out_err = jnp.where(sel, res.error, out_err)
+    return AlignResult(xy=out_xy, converged=out_conv & valid, error=out_err)
