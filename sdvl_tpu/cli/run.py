@@ -1,0 +1,111 @@
+"""CLI entry point: run SLAM over a sequence and report poses + timing.
+
+TPU-native replacement for the reference's main binary (reference
+main.cc:89-171): read config, open a video source, per frame run the
+pipeline and print pose + latency; write the trajectory at the end (the
+reference has no trajectory export at all — external tools had to scrape
+its stdout).
+
+Usage:
+  python -m sdvl_tpu.cli.run --config /root/reference/config/config_tum_f1.cfg \
+      --images /data/tum_f1 --output traj.txt
+  python -m sdvl_tpu.cli.run --synthetic 100        # no dataset needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None,
+                    help="reference-format .cfg (OpenCV YAML)")
+    ap.add_argument("--images", default=None,
+                    help="directory with a files.txt image list")
+    ap.add_argument("--filename", default="files.txt")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--output", default=None, help="TUM trajectory out path")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--no-native-loader", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..pipeline.config import (CameraConfig, Config, SdvlConfig,
+                                   load_cfg)
+    from ..pipeline.sdvl import SDVL
+
+    stamps = []
+    if args.synthetic:
+        from ..io.synthetic import PlaneScene
+
+        scene = PlaneScene()
+        cfg = Config(
+            camera=CameraConfig(width=640, height=480, fx=420.0, fy=420.0,
+                                u0=319.5, v0=239.5, dist=(0, 0, 0, 0, 0)),
+            sdvl=SdvlConfig(min_avg_shift=10.0, min_init_corners=40,
+                            map_scale=4.0),
+        )
+        poses = scene.trajectory(args.synthetic, translation_amp=1.0)
+        frames = (scene.render(p) for p in poses)
+    else:
+        if not args.config:
+            ap.error("--config required unless --synthetic")
+        cfg = load_cfg(args.config)
+        path = args.images or cfg.video.path
+        listfile = os.path.join(path, args.filename)
+        with open(listfile) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        paths = [os.path.join(path, n) for n in names]
+        from ..io.native_loader import frame_source
+
+        frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
+                              prefer_native=not args.no_native_loader)
+
+    slam = SDVL(cfg)
+    times = []
+    n = 0
+    for img in frames:
+        t0 = time.perf_counter()
+        info = slam.handle_frame(np.asarray(img))
+        dt = (time.perf_counter() - t0) * 1e3
+        times.append(dt)
+        stamps.append(n / cfg.video.fps)
+        if not args.quiet:
+            p = info["pose"]
+            print(f"[INFO] frame {n:5d} {info['state']:<12} "
+                  f"matches {info['n_matches']:3d}/{info['n_attempts']:3d} "
+                  f"t=({p[4]:+.3f} {p[5]:+.3f} {p[6]:+.3f}) "
+                  f"{dt:6.1f} ms" + ("  [KF]" if info["keyframe"] else ""))
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    steady = times[min(20, len(times) // 2):]
+    summary = {
+        "frames": n,
+        "keyframes": int(slam.m.kf_valid.sum()),
+        "points": int(slam.m.pt_valid.sum()),
+        "mean_ms": round(float(np.mean(steady)), 2) if steady else None,
+        "fps": round(1e3 / float(np.mean(steady)), 2) if steady else None,
+    }
+    print(json.dumps(summary))
+
+    if args.output:
+        from ..io.dataset import save_tum_trajectory
+
+        poses_wc = np.stack([p for _, p in slam.trajectory])
+        save_tum_trajectory(args.output, stamps, poses_wc)
+        print(f"[INFO] trajectory written to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
