@@ -84,13 +84,14 @@ def shi_tomasi(img: jnp.ndarray, half_box: int = 2) -> jnp.ndarray:
 
     def _boxsum(x):
         # Even-sized window anchored like OpenCV boxFilter: spans
-        # [i - box/2, i + box/2 - 1] in each axis.
-        x4 = x[None, None]
-        k = jnp.ones((1, 1, box, box), jnp.float32)
-        p = (half_box, half_box - 1)
-        return jax.lax.conv_general_dilated(
-            x4, k, (1, 1), [p, p], dimension_numbers=("NCHW", "OIHW", "NCHW")
-        )[0, 0]
+        # [i - box/2, i + box/2 - 1] in each axis. Shift-add, not conv —
+        # single-channel convs hit a pathological TPU-runtime path (see
+        # ops/pyramid.py docstring).
+        H, W = x.shape
+        p = jnp.pad(x, ((half_box, half_box - 1), (0, 0)))
+        v = sum(p[i : i + H] for i in range(box))
+        p = jnp.pad(v, ((0, 0), (half_box, half_box - 1)))
+        return sum(p[:, i : i + W] for i in range(box))
 
     dxx = _boxsum(dx * dx)
     dyy = _boxsum(dy * dy)

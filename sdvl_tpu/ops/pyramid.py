@@ -1,9 +1,15 @@
-"""Image pyramid construction as XLA convolutions.
+"""Image pyramid construction as shift-add stencils on the VPU.
 
 TPU-native replacement for the reference's per-frame ``cv::pyrDown`` loop
 (reference frame.cc:114-120: 5 half-resolution levels). One separable 5-tap
-binomial blur + 2x decimation per level, expressed as depthwise convs so XLA
-fuses and pipelines them; no host round-trips.
+binomial blur + 2x decimation per level.
+
+Implementation note: these stencils are written as padded-slice shift-adds,
+NOT ``lax.conv``. Single-channel NCHW convolutions hit a catastrophic slow
+path in this TPU runtime (~30 ms for one 5-tap conv at 640x480, and the
+session stays degraded afterwards); the identical math as five shifted
+multiply-adds runs in ~0.1 ms. Shift-adds are also what the VPU natively
+wants for C=1 stencils — the MXU has nothing to contract.
 """
 
 from __future__ import annotations
@@ -14,26 +20,23 @@ import jax
 import jax.numpy as jnp
 
 # Binomial 5-tap kernel — the same kernel cv::pyrDown uses.
-_K5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+_K5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _sep_filter(img: jnp.ndarray, taps, mode: str = "reflect") -> jnp.ndarray:
+    """Separable odd-length filter via padded slices (no conv)."""
+    r = len(taps) // 2
+    H, W = img.shape
+    p = jnp.pad(img, ((r, r), (0, 0)), mode=mode)
+    v = sum(w * p[i : i + H] for i, w in enumerate(taps))
+    p = jnp.pad(v, ((0, 0), (r, r)), mode=mode)
+    return sum(w * p[:, i : i + W] for i, w in enumerate(taps))
 
 
 def _blur_downsample(img: jnp.ndarray) -> jnp.ndarray:
     """Gaussian blur + take every 2nd pixel, mirroring pyrDown semantics
     (REFLECT_101 borders, even output size = ceil(n/2))."""
-    f = img[None, None, :, :]  # NCHW
-    pad = [(0, 0), (0, 0), (2, 2), (2, 2)]
-    f = jnp.pad(f, pad, mode="reflect")
-    kv = _K5.reshape(1, 1, 5, 1)
-    kh = _K5.reshape(1, 1, 1, 5)
-    f = jax.lax.conv_general_dilated(
-        f, kv, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    f = jax.lax.conv_general_dilated(
-        f, kh, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return f[0, 0, ::2, ::2]
+    return _sep_filter(img, _K5)[::2, ::2]
 
 
 def build_pyramid(img: jnp.ndarray, levels: int = 5) -> list:
@@ -50,19 +53,17 @@ def build_pyramid(img: jnp.ndarray, levels: int = 5) -> list:
 
 
 def gradient(img: jnp.ndarray):
-    """Central-difference gradients (dx, dy), same shape as img, via convs.
+    """Central-difference gradients (dx, dy), same shape as img.
 
     Replaces the reference's per-pixel half-sample differences
     (image_align.cc:240-255) when a dense gradient image is cheaper than
-    scattered sampling (e.g. Shi-Tomasi maps).
+    scattered sampling (e.g. Shi-Tomasi maps). Shift-add, not conv — see
+    module docstring.
     """
-    f = img[None, None].astype(jnp.float32)
-    kx = jnp.array([[-0.5, 0.0, 0.5]], jnp.float32).reshape(1, 1, 1, 3)
-    ky = jnp.array([[-0.5], [0.0], [0.5]], jnp.float32).reshape(1, 1, 3, 1)
-    fp = jnp.pad(f, [(0, 0), (0, 0), (0, 0), (1, 1)], mode="edge")
-    dx = jax.lax.conv_general_dilated(
-        fp, kx, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    fp = jnp.pad(f, [(0, 0), (0, 0), (1, 1), (0, 0)], mode="edge")
-    dy = jax.lax.conv_general_dilated(
-        fp, ky, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return dx[0, 0], dy[0, 0]
+    f = img.astype(jnp.float32)
+    H, W = f.shape
+    px = jnp.pad(f, ((0, 0), (1, 1)), mode="edge")
+    dx = 0.5 * (px[:, 2:] - px[:, :-2])
+    py = jnp.pad(f, ((1, 1), (0, 0)), mode="edge")
+    dy = 0.5 * (py[2:] - py[:-2])
+    return dx, dy
