@@ -36,7 +36,21 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--no-native-loader", action="store_true")
+    ap.add_argument("--trace", default=None,
+                    help="write per-stage timing summary JSON here and "
+                         "print the table at exit")
+    ap.add_argument("--snapshot", default=None,
+                    help="write a resumable session checkpoint here at exit")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a session checkpoint")
     args = ap.parse_args(argv)
+
+    # The container's site config pins jax_platforms (JAX_PLATFORMS is
+    # shadowed); honor an explicit override before jax initializes.
+    if os.environ.get("SDVL_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["SDVL_PLATFORM"])
 
     from ..pipeline.config import (CameraConfig, Config, SdvlConfig,
                                    load_cfg)
@@ -46,10 +60,11 @@ def main(argv=None):
     if args.synthetic:
         from ..io.synthetic import PlaneScene
 
-        scene = PlaneScene()
+        scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                           width=640, height=480, plane_z=4.0)
         cfg = Config(
-            camera=CameraConfig(width=640, height=480, fx=420.0, fy=420.0,
-                                u0=319.5, v0=239.5, dist=(0, 0, 0, 0, 0)),
+            camera=CameraConfig(width=640, height=480, fx=517.3, fy=516.5,
+                                u0=318.6, v0=255.3, dist=(0, 0, 0, 0, 0)),
             sdvl=SdvlConfig(min_avg_shift=10.0, min_init_corners=40,
                             map_scale=4.0),
         )
@@ -69,7 +84,15 @@ def main(argv=None):
         frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
                               prefer_native=not args.no_native_loader)
 
-    slam = SDVL(cfg)
+    from ..utils.trace import Tracer
+
+    tracer = Tracer(enabled=args.trace is not None)
+    slam = SDVL(cfg, tracer=tracer)
+    if args.resume:
+        from ..io.snapshot import load_snapshot
+
+        load_snapshot(slam, args.resume)
+        print(f"[INFO] resumed from {args.resume} at frame {slam.frame_id}")
     times = []
     n = 0
     for img in frames:
@@ -97,6 +120,17 @@ def main(argv=None):
         "fps": round(1e3 / float(np.mean(steady)), 2) if steady else None,
     }
     print(json.dumps(summary))
+
+    if args.trace:
+        print(tracer.report())
+        tracer.write_json(args.trace)
+        print(f"[INFO] trace summary written to {args.trace}")
+
+    if args.snapshot:
+        from ..io.snapshot import save_snapshot
+
+        save_snapshot(slam, args.snapshot)
+        print(f"[INFO] session checkpoint written to {args.snapshot}")
 
     if args.output:
         from ..io.dataset import save_tum_trajectory

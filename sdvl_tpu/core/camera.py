@@ -35,12 +35,19 @@ class Intrinsics(NamedTuple):
 
     @staticmethod
     def create(fx, fy, cx, cy, dist=None, width=640, height=480) -> "Intrinsics":
+        # Leaves are HOST (numpy) values on purpose: an Intrinsics is
+        # routinely closed over by jitted functions, and closure-captured
+        # *device* arrays poison this TPU runtime into a ~30 ms/launch
+        # synchronous mode (see ops/pyramid.py docstring). Numpy leaves
+        # trace to inlined HLO literals, which are clean.
+        import numpy as np
+
         if dist is None:
-            dist = jnp.zeros(5, jnp.float32)
+            dist = np.zeros(5, np.float32)
         return Intrinsics(
-            fx=jnp.float32(fx), fy=jnp.float32(fy),
-            cx=jnp.float32(cx), cy=jnp.float32(cy),
-            dist=jnp.asarray(dist, jnp.float32),
+            fx=np.float32(fx), fy=np.float32(fy),
+            cx=np.float32(cx), cy=np.float32(cy),
+            dist=np.asarray(dist, np.float32),
             width=int(width), height=int(height),
         )
 

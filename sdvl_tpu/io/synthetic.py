@@ -81,14 +81,18 @@ class PlaneScene:
         return img
 
     def trajectory(self, n_frames: int, translation_amp=0.6,
-                   rot_amp=0.03) -> List[np.ndarray]:
+                   rot_amp=0.03, rate=1.0 / 72.0) -> List[np.ndarray]:
         """Smooth sideways-dominant trajectory (good bootstrap parallax).
 
         Returns world->cam poses (7,) per frame; frame 0 is identity.
+        ``rate`` is the phase advanced per frame — per-frame image motion is
+        therefore independent of ``n_frames`` (a short clip is a prefix of a
+        long one, like a real camera), roughly ``fx*amp*4.7*rate/plane_z``
+        px/frame sideways at the default amplitudes.
         """
         poses = []
         for i in range(n_frames):
-            ph = i / max(n_frames - 1, 1)
+            ph = i * rate
             xi = np.array([
                 translation_amp * np.sin(2 * np.pi * ph * 0.75),
                 0.3 * translation_amp * np.sin(2 * np.pi * ph * 1.5),

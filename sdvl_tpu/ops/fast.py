@@ -84,9 +84,9 @@ def shi_tomasi(img: jnp.ndarray, half_box: int = 2) -> jnp.ndarray:
 
     def _boxsum(x):
         # Even-sized window anchored like OpenCV boxFilter: spans
-        # [i - box/2, i + box/2 - 1] in each axis. Shift-add, not conv —
-        # single-channel convs hit a pathological TPU-runtime path (see
-        # ops/pyramid.py docstring).
+        # [i - box/2, i + box/2 - 1] in each axis. Shift-add with scalar
+        # weights — no device-array kernel constants (see ops/pyramid.py
+        # docstring for the TPU-runtime poisoning this avoids).
         H, W = x.shape
         p = jnp.pad(x, ((half_box, half_box - 1), (0, 0)))
         v = sum(p[i : i + H] for i in range(box))

@@ -37,13 +37,16 @@ def _make_pattern(seed: int = 7) -> np.ndarray:
     return np.clip(pts, -PATCH_RADIUS + 1, PATCH_RADIUS - 1).astype(np.float32)
 
 
-_PATTERN = jnp.asarray(_make_pattern())
+# Host (numpy) constants: these are closed over by jitted code, and
+# closure-captured DEVICE arrays poison this TPU runtime (they also traced
+# to separate executable-attached buffers; numpy traces to HLO literals).
+_PATTERN = _make_pattern()
 
 # Circular mask row extents for the orientation moments, as in the reference's
 # u_max table (orb_detector.cc:45-60): for each |y| <= r the max |x| on the circle.
-_UMAX = jnp.asarray(
+_UMAX = np.asarray(
     [int(np.floor(np.sqrt(PATCH_RADIUS**2 - y * y))) for y in range(PATCH_RADIUS + 1)],
-    jnp.float32,
+    np.float32,
 )
 
 

@@ -76,6 +76,32 @@ def warp_patch(img_ref: jnp.ndarray, A_ref_cur: jnp.ndarray,
     return vals.reshape(vals.shape[:-1] + (s, s))
 
 
+def grid_search(img: jnp.ndarray, ref_patches: jnp.ndarray,
+                xy: jnp.ndarray, radius: int, step: float = 1.0):
+    """Exhaustive integer-offset patch search around ``xy``, batched.
+
+    For each feature, scores ZMSSD of ``ref_patches`` (N, s, s) against the
+    (2*radius+1)^2 offset grid in ``img`` and returns the best position
+    ``(xy_best (N,2), score_best (N,))``. This is the translation-only,
+    fixed-shape analog of widening an LK search window (OpenCV winSize):
+    N x G^2 x s^2 fused multiply-adds — dense, branch-free, ideal VPU work —
+    replacing the serial early-exit candidate scans of reference
+    matcher.cc:123-230.
+    """
+    g = jnp.arange(-radius, radius + 1, dtype=jnp.float32) * step
+    oy, ox = jnp.meshgrid(g, g, indexing="ij")
+    offs = jnp.stack([ox, oy], axis=-1).reshape(-1, 2)          # (G,2)
+    pos = xy[:, None, :] + offs[None]                           # (N,G,2)
+    s = ref_patches.shape[-1]
+    half = s // 2
+    cur = interp.extract_patches(img, pos.reshape(-1, 2), half)
+    cur = cur.reshape(xy.shape[0], offs.shape[0], s, s)         # (N,G,s,s)
+    score = zmssd(ref_patches[:, None], cur)                    # (N,G)
+    best = jnp.argmin(score, axis=1)
+    xy_best = jnp.take_along_axis(pos, best[:, None, None], axis=1)[:, 0]
+    return xy_best, jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+
+
 def zmssd(ref_patch: jnp.ndarray, cur_patch: jnp.ndarray) -> jnp.ndarray:
     """Zero-mean SSD between patches; broadcasts over leading dims.
 

@@ -4,12 +4,15 @@ TPU-native replacement for the reference's per-frame ``cv::pyrDown`` loop
 (reference frame.cc:114-120: 5 half-resolution levels). One separable 5-tap
 binomial blur + 2x decimation per level.
 
-Implementation note: these stencils are written as padded-slice shift-adds,
-NOT ``lax.conv``. Single-channel NCHW convolutions hit a catastrophic slow
-path in this TPU runtime (~30 ms for one 5-tap conv at 640x480, and the
-session stays degraded afterwards); the identical math as five shifted
-multiply-adds runs in ~0.1 ms. Shift-adds are also what the VPU natively
-wants for C=1 stencils — the MXU has nothing to contract.
+Implementation note: these stencils are written as padded-slice shift-adds
+with *Python-scalar* taps, NOT ``lax.conv`` with a device-array kernel.
+Root cause (established by controlled bisect): jitted programs that
+closure-capture a DEVICE-resident array (as the old module-level
+``jnp.asarray`` kernel was) poison this TPU runtime session-wide into a
+~30 ms/launch synchronous mode and can take minutes to compile; numpy/
+Python constants trace to inlined HLO literals and are clean. Shift-adds
+with scalar weights are also simply the right shape for the VPU — a C=1
+stencil has nothing for the MXU to contract.
 """
 
 from __future__ import annotations

@@ -26,17 +26,30 @@ from ..solvers import homography, lk
 
 
 def pyramidal_flow(pyr_a, pyr_b, xy_a: jnp.ndarray, valid: jnp.ndarray,
-                   half: int = 4, iters: int = 12, start_level: int = 3,
-                   max_err: float = 25.0):
+                   half: int = 4, iters: int = 12, start_level: int = 2,
+                   max_err: float = 25.0, search_radius: int = 16):
     """Sparse optical flow a->b, coarse-to-fine (calcOpticalFlowPyrLK
     equivalent). Returns (xy_b (N,2) level-0 coords, ok (N,)).
+
+    Large displacements: LK's basin of attraction is only ~the patch radius,
+    so before descending the pyramid an exhaustive ZMSSD grid search at
+    ``start_level`` (±``search_radius`` px there = ±radius*2^l at level 0)
+    finds the basin — the batched, fixed-shape stand-in for OpenCV's big
+    ``winSize`` (the reference uses winSize=30, homography_init.cc:198-204).
 
     Coarse levels only *warm-start* the estimate — a feature too close to a
     coarse-level border (patch clamps flat, LK stalls) is recovered at finer
     levels, so success is judged only at level 0: converged, in-bounds, and
     final photometric residual below ``max_err`` grey levels.
     """
-    xy = xy_a
+    from ..ops import patch as patch_ops
+
+    l0 = start_level
+    ref_c = interp.extract_patches(pyr_a[l0], xy_a / (1 << l0), half)
+    xy_c, _ = patch_ops.grid_search(
+        pyr_b[l0], ref_c, xy_a / (1 << l0), search_radius
+    )
+    xy = xy_c * (1 << l0)
     for l in range(start_level, -1, -1):
         patches = interp.extract_patches(pyr_a[l], xy_a / (1 << l), half)
         res = lk.align_patches(

@@ -51,7 +51,10 @@ class TrackingQuality(enum.Enum):
 class SDVL:
     """The system facade (reference SDVL::HandleFrame/GetPose, sdvl.h:57-69)."""
 
-    def __init__(self, config: Config, seed: int = 0):
+    def __init__(self, config: Config, seed: int = 0, tracer=None):
+        from ..utils.trace import Tracer
+
+        self.tracer = tracer if tracer is not None else Tracer(enabled=False)
         self.cfg = config
         s = config.sdvl
         self.intr = intrinsics(config)
@@ -68,9 +71,10 @@ class SDVL:
         )
         self._undistort_grid = None
         if any(abs(d) > 1e-12 for d in config.camera.dist):
-            self._undistort_grid = cam.undistort_map(self.intr)[
-                : self.crop_h, : self.crop_w
-            ]
+            # device-resident, but always passed as a jit *argument*
+            self._undistort_grid = jax.device_put(
+                cam.undistort_map(self.intr)[: self.crop_h, : self.crop_w]
+            )
 
         self.state = TrackingState.FIRST_FRAME
         self.quality = TrackingQuality.GOOD
@@ -95,12 +99,16 @@ class SDVL:
     def _build_jits(self):
         s = self.cfg.sdvl
         intr = self.intr
-        grid = self._undistort_grid
+        has_grid = self._undistort_grid is not None
 
+        # NOTE: these closures may capture `intr` (numpy leaves -> HLO
+        # literals) and Python scalars, but NEVER device arrays — the
+        # undistort grid is threaded through as an argument. Closure-captured
+        # device arrays poison this TPU runtime (~30 ms/launch sync mode).
         @jax.jit
-        def _preprocess(img):
+        def _preprocess(img, grid):
             img = img.astype(jnp.float32)
-            if grid is not None:
+            if has_grid:
                 img = interp.remap(img, grid)
             pyr = pyramid.build_pyramid(img, self.levels)
             corners = fast_ops.detect_pyramid(
@@ -242,7 +250,10 @@ class SDVL:
         grayscale, uint8 or float.
         """
         s = self.cfg.sdvl
-        pyr, corners = self._preprocess(self._crop(img))
+        with self.tracer.span("preprocess"):
+            pyr, corners = self._preprocess(
+                self._crop(img), self._undistort_grid
+            )
         info = {"frame_id": self.frame_id, "state": self.state.name,
                 "n_matches": 0, "n_attempts": 0, "keyframe": False}
 
@@ -287,16 +298,18 @@ class SDVL:
 
         elif self.state in (TrackingState.RUNNING, TrackingState.LOST):
             if self.state == TrackingState.LOST:
-                rl = self._relocalize(self.m, pyr, self.last_pose)
-                pose_pred = rl.pose
+                with self.tracer.span("relocalize"):
+                    rl = self._relocalize(self.m, pyr, self.last_pose)
+                    pose_pred = rl.pose
             else:
                 pose_pred = self._predict(self.xi_model, self.last_pose)
 
-            self.m, tr = self._track(
-                self.m, self.last_pyr, self.last_match_idx,
-                self.last_match_ok, self.last_pose, pyr, pose_pred,
-            )
-            n_matches = int(tr.n_matches)
+            with self.tracer.span("track"):
+                self.m, tr = self._track(
+                    self.m, self.last_pyr, self.last_match_idx,
+                    self.last_match_ok, self.last_pose, pyr, pose_pred,
+                )
+                n_matches = int(tr.n_matches)
             n_attempts = int(tr.n_attempts)
             info.update(n_matches=n_matches, n_attempts=n_attempts)
 
@@ -328,19 +341,22 @@ class SDVL:
                     min_keyframe_its=s.min_keyframe_its,
                     lost_ratio=s.lost_ratio,
                 ):
-                    self.m, slot = self._add_keyframe(
-                        self.m, pyr, tr.pose,
-                        jnp.asarray(self.frame_id, jnp.int32),
-                        tr.match_pt_idx, tr.match_px, tr.match_ok,
-                        corners.xy, corners.level, corners.valid,
-                    )
-                    self.m = self._local_ba(self.m, slot)
-                    self.m = self._prune(self.m)
+                    with self.tracer.span("keyframe"):
+                        self.m, slot = self._add_keyframe(
+                            self.m, pyr, tr.pose,
+                            jnp.asarray(self.frame_id, jnp.int32),
+                            tr.match_pt_idx, tr.match_px, tr.match_ok,
+                            corners.xy, corners.level, corners.valid,
+                        )
+                        with self.tracer.span("ba"):
+                            self.m = self._local_ba(self.m, slot)
+                        self.m = self._prune(self.m)
                     self.kf_matches = max(n_matches, 1)
                     self.frames_since_kf = 0
                     info["keyframe"] = True
 
-                self.m = self._update_map(self.m, pyr, self.last_pose)
+                with self.tracer.span("map_update"):
+                    self.m = self._update_map(self.m, pyr, self.last_pose)
                 self.last_match_idx = tr.match_pt_idx
                 self.last_match_ok = tr.match_ok
 
