@@ -82,7 +82,8 @@ def vogiatzis_update(rho, sigma2, a, b, x, tau2, rho_range):
 
 
 def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
-                      n_samples: int = 32, max_failed: int = 15) -> MapState:
+                      n_samples: int = 32, max_failed: int = 15,
+                      use_orb: bool = False) -> MapState:
     """Epipolar-match every candidate and update its depth filter.
 
     Mirrors Map::UpdateCandidates (map.cc:402-498): match -> triangulate ->
@@ -91,7 +92,7 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     failures are freed.
     """
     res: EpipolarResult = epipolar_search(
-        m, intr, cur_pyr, pose_cur, n_samples=n_samples
+        m, intr, cur_pyr, pose_cur, n_samples=n_samples, use_orb=use_orb
     )
 
     T_cur_ref = se3.compose(pose_cur[None], se3.inverse(m.kf_pose[m.cand_kf]))
@@ -157,6 +158,7 @@ def promote_converged(m: MapState, threshold_converged: float = 0.1,
         pt_anchor_kf=m.pt_anchor_kf.at[slots].set(m.cand_kf, mode="drop"),
         pt_fail=m.pt_fail.at[slots].set(0, mode="drop"),
         pt_found=m.pt_found.at[slots].set(1, mode="drop"),
+        pt_desc=m.pt_desc.at[slots].set(m.cand_desc, mode="drop"),
         obs_mask=m.obs_mask.at[m.cand_kf, slots].set(True, mode="drop"),
         obs_px=m.obs_px.at[m.cand_kf, slots].set(m.cand_px, mode="drop"),
         obs_level=m.obs_level.at[m.cand_kf, slots].set(
@@ -176,8 +178,13 @@ def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
     rho = 1/median scene depth with a wide prior (sigma covering
     (0, 2/median]).
     """
+    from ..ops import orb
+
     corner_xy, corner_level, corner_valid = fs_corners
     H, W = fs_pyr[0].shape
+    # anchor ORB descriptor per seed (reference InitCandidates stores the
+    # creating feature's descriptor, map.cc:335-346 via Feature ctor)
+    desc = orb.descriptors(fs_pyr[0], corner_xy)
 
     # Suppress cells already occupied by observations of this keyframe
     occ = fast_ops.occupied_cells(
@@ -212,4 +219,5 @@ def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
         cand_a=m.cand_a.at[slots].set(jnp.full((n,), 10.0), mode="drop"),
         cand_b=m.cand_b.at[slots].set(jnp.full((n,), 10.0), mode="drop"),
         cand_fail=m.cand_fail.at[slots].set(0, mode="drop"),
+        cand_desc=m.cand_desc.at[slots].set(desc, mode="drop"),
     )

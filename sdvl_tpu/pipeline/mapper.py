@@ -98,12 +98,12 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
 
 def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                n_samples: int = 32, threshold_converged: float = 0.1,
-               max_failed: int = 15) -> MapState:
+               max_failed: int = 15, use_orb: bool = False) -> MapState:
     """Per-frame mapper iteration (Map::UpdateMap, map.cc:73-143): update
     all candidate depth filters against this frame, promote converged ones."""
     m = depth_filter.update_candidates(
         m, intr, cur_pyr, pose_cur, n_samples=n_samples,
-        max_failed=max_failed,
+        max_failed=max_failed, use_orb=use_orb,
     )
     return depth_filter.promote_converged(m, threshold_converged)
 

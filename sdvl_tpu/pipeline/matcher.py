@@ -114,7 +114,8 @@ def _warped_ref_patches(m: MapState, intr, pt_idx, pose_cur, half: int):
 
 def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                      cell: int, half: int = 4, lk_iters: int = 10,
-                     reproj_px: float = 6.0) -> MatchResult:
+                     reproj_px: float = 6.0, use_orb: bool = False,
+                     orb_max_dist: int = 100) -> MatchResult:
     """Reproject valid map points, pick one per grid cell, LK-align each.
 
     Equivalent to FeatureAlign::Reproject+SelectPoints+SearchPoint for
@@ -122,6 +123,11 @@ def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     reference caps at ``max_matches`` over ~300 cells, feature_align.cc:119).
     A match succeeds when LK converges and lands within ``reproj_px`` of the
     prediction (gross drifts are outliers for the pose stage anyway).
+
+    With ``use_orb`` (static), matches are additionally gated by the Hamming
+    distance between the point's anchor ORB descriptor and a descriptor at
+    the matched position (< ``orb_max_dist``) — the reference's descriptor
+    check in Matcher::SearchPoint (matcher.cc:232-291, threshold 100).
     """
     H, W = cur_pyr[0].shape
     gw, gh = W // cell, H // cell
@@ -148,6 +154,12 @@ def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     drift = jnp.linalg.norm(res.xy - px_pred, axis=-1)
     scale = jnp.exp2(search_level.astype(jnp.float32))
     ok = attempted & res.converged & (drift < reproj_px * scale)
+    if use_orb:
+        from ..ops import orb
+
+        desc_cur = orb.descriptors(cur_pyr[0], res.xy)
+        dist = orb.hamming(desc_cur, m.pt_desc[sel_idx])
+        ok = ok & (dist < orb_max_dist)
     uv = jnp.stack([
         (res.xy[:, 0] - intr.cx) / intr.fx,
         (res.xy[:, 1] - intr.cy) / intr.fy,
@@ -166,7 +178,8 @@ class EpipolarResult(NamedTuple):
 def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                     n_samples: int = 32, half: int = 4,
                     zmssd_max: float = 40.0 ** 2 * 64,
-                    lk_iters: int = 8) -> EpipolarResult:
+                    lk_iters: int = 8, use_orb: bool = False,
+                    orb_max_dist: int = 100) -> EpipolarResult:
     """Match depth-filter candidates along their epipolar segments.
 
     Mirrors Matcher::SearchPoint for unconverged candidates
@@ -241,5 +254,11 @@ def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
         T_cur_ref, m.cand_bearing, bearing_cur
     )
     ok = good & res.converged & (depth > 1e-4)
+    if use_orb:
+        from ..ops import orb
+
+        desc_cur = orb.descriptors(cur_pyr[0], res.xy)
+        dist = orb.hamming(desc_cur, m.cand_desc)
+        ok = ok & (dist < orb_max_dist)
     return EpipolarResult(px=res.xy, ok=ok, depth_anchor=depth,
                           attempted=attempted)

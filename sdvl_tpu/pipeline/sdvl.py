@@ -143,9 +143,13 @@ class SDVL:
                 kf_pyr=kf_pyr,
                 n_keyframes=jnp.asarray(2, jnp.int32),
             )
+            from ..ops import orb
+
             slots, ok = alloc_slots(~m.pt_valid, boot.inlier)
+            desc1 = orb.descriptors(pyr1[0], boot.px1)
             m = m._replace(
                 pt_pos=m.pt_pos.at[slots].set(boot.pts_w, mode="drop"),
+                pt_desc=m.pt_desc.at[slots].set(desc1, mode="drop"),
                 pt_valid=m.pt_valid.at[slots].set(True, mode="drop"),
                 pt_anchor_kf=m.pt_anchor_kf.at[slots].set(0, mode="drop"),
                 pt_found=m.pt_found.at[slots].set(2, mode="drop"),
@@ -175,6 +179,7 @@ class SDVL:
                 align_iters=s.max_img_align_its // 3,
                 pose_iters=s.max_optim_pose_its,
                 inlier_thresh_px=s.inlier_error_threshold,
+                use_orb=s.use_orb,
             )
             m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
             return m, tr
@@ -186,6 +191,7 @@ class SDVL:
                 n_samples=s.epipolar_samples,
                 threshold_converged=s.threshold_converged,
                 max_failed=s.max_failed,
+                use_orb=s.use_orb,
             )
 
         @jax.jit

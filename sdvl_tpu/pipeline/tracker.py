@@ -38,6 +38,7 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
                 cell: int = 32, align_max_level: int = 4,
                 align_min_level: int = 2, align_iters: int = 10,
                 pose_iters: int = 10, inlier_thresh_px: float = 2.0,
+                use_orb: bool = False,
                 ) -> TrackResult:
     """One tracking step (reference sdvl.cc:179-203 + feature_align.cc).
 
@@ -54,7 +55,8 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
         iters=align_iters,
     )
 
-    mr = matcher.match_map_points(m, intr, cur_pyr, ia.pose, cell=cell)
+    mr = matcher.match_map_points(m, intr, cur_pyr, ia.pose, cell=cell,
+                                  use_orb=use_orb)
 
     thresh = inlier_thresh_px / jnp.minimum(intr.fx, intr.fy)
     po = pose_opt.optimize(

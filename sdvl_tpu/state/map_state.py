@@ -64,6 +64,9 @@ class MapState(NamedTuple):
                                    #   (reference point.cc:103-116, delete at 15)
     pt_found: jnp.ndarray          # (P,) int32 total successful observations
     pt_last_seen: jnp.ndarray      # (P,) int32 frame id
+    pt_desc: jnp.ndarray           # (P, 8) uint32 anchor ORB descriptor
+                                   #   (reference feature.h descriptor; used
+                                   #   when Config.use_orb to gate matches)
 
     # --- depth-filter candidates (reference point.h Bayesian filter) ---
     cand_valid: jnp.ndarray        # (C,) bool
@@ -76,6 +79,7 @@ class MapState(NamedTuple):
     cand_a: jnp.ndarray            # (C,) Beta inlier count
     cand_b: jnp.ndarray            # (C,) Beta outlier count
     cand_fail: jnp.ndarray         # (C,) consecutive failed epipolar searches
+    cand_desc: jnp.ndarray         # (C, 8) uint32 anchor ORB descriptor
 
     # --- counters ---
     n_keyframes: jnp.ndarray       # () int32 total ever added
@@ -107,6 +111,7 @@ def empty_map(n_kf: int, n_pts: int, n_cand: int, img_shape: Tuple[int, int],
         pt_fail=jnp.zeros(n_pts, jnp.int32),
         pt_found=jnp.zeros(n_pts, jnp.int32),
         pt_last_seen=jnp.zeros(n_pts, jnp.int32),
+        pt_desc=jnp.zeros((n_pts, 8), jnp.uint32),
         cand_valid=jnp.zeros(n_cand, bool),
         cand_kf=jnp.zeros(n_cand, jnp.int32),
         cand_px=jnp.zeros((n_cand, 2), jnp.float32),
@@ -117,6 +122,7 @@ def empty_map(n_kf: int, n_pts: int, n_cand: int, img_shape: Tuple[int, int],
         cand_a=jnp.zeros(n_cand, jnp.float32),
         cand_b=jnp.zeros(n_cand, jnp.float32),
         cand_fail=jnp.zeros(n_cand, jnp.int32),
+        cand_desc=jnp.zeros((n_cand, 8), jnp.uint32),
         n_keyframes=jnp.asarray(0, jnp.int32),
     )
 
