@@ -43,6 +43,9 @@ def main(argv=None):
                     help="write a resumable session checkpoint here at exit")
     ap.add_argument("--resume", default=None,
                     help="resume from a session checkpoint")
+    ap.add_argument("--viz", default=None, metavar="DIR",
+                    help="write feature-overlay and map PNGs here")
+    ap.add_argument("--viz-every", type=int, default=10)
     args = ap.parse_args(argv)
 
     # The container's site config pins jax_platforms (JAX_PLATFORMS is
@@ -93,11 +96,20 @@ def main(argv=None):
 
         load_snapshot(slam, args.resume)
         print(f"[INFO] resumed from {args.resume} at frame {slam.frame_id}")
+    recorder = None
+    if args.viz:
+        from ..viz import VizRecorder
+
+        recorder = VizRecorder(args.viz, every=args.viz_every)
+
     times = []
     n = 0
     for img in frames:
         t0 = time.perf_counter()
-        info = slam.handle_frame(np.asarray(img))
+        img = np.asarray(img)
+        info = slam.handle_frame(img)
+        if recorder is not None:
+            recorder.record(slam, img, info)
         dt = (time.perf_counter() - t0) * 1e3
         times.append(dt)
         stamps.append(n / cfg.video.fps)

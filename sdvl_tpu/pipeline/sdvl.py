@@ -317,7 +317,11 @@ class SDVL:
                 )
                 n_matches = int(tr.n_matches)
             n_attempts = int(tr.n_attempts)
-            info.update(n_matches=n_matches, n_attempts=n_attempts)
+            info.update(n_matches=n_matches, n_attempts=n_attempts,
+                        # device refs (no transfer unless a consumer, e.g.
+                        # viz.VizRecorder, converts them)
+                        match_px=tr.match_px, match_ok=tr.match_ok,
+                        match_attempted=tr.match_attempted)
 
             ratio = n_matches / max(n_attempts, 1)
             if n_matches < s.min_matches:
