@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--viz", default=None, metavar="DIR",
                     help="write feature-overlay and map PNGs here")
     ap.add_argument("--viz-every", type=int, default=10)
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run the mapper on its own thread (the reference's "
+                         "tracking/mapping thread split; default sequential)")
     args = ap.parse_args(argv)
 
     # The container's site config pins jax_platforms (JAX_PLATFORMS is
@@ -96,6 +99,12 @@ def main(argv=None):
 
         load_snapshot(slam, args.resume)
         print(f"[INFO] resumed from {args.resume} at frame {slam.frame_id}")
+    async_mapper = None
+    if args.async_mapping:
+        from ..pipeline.runtime import AsyncMapper
+
+        async_mapper = AsyncMapper(slam)
+
     recorder = None
     if args.viz:
         from ..viz import VizRecorder
@@ -122,6 +131,9 @@ def main(argv=None):
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
+
+    if async_mapper is not None:
+        async_mapper.stop()
 
     steady = times[min(20, len(times) // 2):]
     summary = {

@@ -91,6 +91,7 @@ class SDVL:
         self.last_match_idx = None
         self.last_match_ok = None
         self._first_fs = None
+        self._async_mapper = None  # set by runtime.AsyncMapper
         self.trajectory = []  # (frame_id, pose 7) host copies
 
         self._build_jits()
@@ -185,6 +186,12 @@ class SDVL:
             return m, tr
 
         @jax.jit
+        def _update_stats(m, tr):
+            """Standalone stat fold for the async mapper (runtime.py), which
+            owns all map writes and replays the tracker's stat update."""
+            return tracker.update_point_stats(m, tr, max_failed=s.max_failed)
+
+        @jax.jit
         def _update_map(m, cur_pyr, pose):
             return mapper.update_map(
                 m, intr, cur_pyr, pose,
@@ -225,6 +232,7 @@ class SDVL:
             return mapper.check_redundant_keyframes(m)
 
         self._preprocess = _preprocess
+        self._update_stats = _update_stats
         self._bootstrap = _bootstrap
         self._seed_map = _seed_map
         self._track = _track
@@ -311,10 +319,14 @@ class SDVL:
                 pose_pred = self._predict(self.xi_model, self.last_pose)
 
             with self.tracer.span("track"):
-                self.m, tr = self._track(
+                m_tracked, tr = self._track(
                     self.m, self.last_pyr, self.last_match_idx,
                     self.last_match_ok, self.last_pose, pyr, pose_pred,
                 )
+                if self._async_mapper is None:
+                    self.m = m_tracked
+                # else: the mapper thread owns map writes and replays the
+                # stat fold itself; m_tracked is discarded (runtime.py)
                 n_matches = int(tr.n_matches)
             n_attempts = int(tr.n_attempts)
             info.update(n_matches=n_matches, n_attempts=n_attempts,
@@ -346,27 +358,42 @@ class SDVL:
                 self.state = TrackingState.RUNNING
 
                 self.frames_since_kf += 1
-                if mapper.need_keyframe(
+                is_kf = mapper.need_keyframe(
                     n_matches, self.kf_matches, self.frames_since_kf,
                     min_keyframe_its=s.min_keyframe_its,
                     lost_ratio=s.lost_ratio,
-                ):
-                    with self.tracer.span("keyframe"):
-                        self.m, slot = self._add_keyframe(
-                            self.m, pyr, tr.pose,
-                            jnp.asarray(self.frame_id, jnp.int32),
-                            tr.match_pt_idx, tr.match_px, tr.match_ok,
-                            corners.xy, corners.level, corners.valid,
-                        )
-                        with self.tracer.span("ba"):
-                            self.m = self._local_ba(self.m, slot)
-                        self.m = self._prune(self.m)
+                )
+                if is_kf:
                     self.kf_matches = max(n_matches, 1)
                     self.frames_since_kf = 0
                     info["keyframe"] = True
 
-                with self.tracer.span("map_update"):
-                    self.m = self._update_map(self.m, pyr, self.last_pose)
+                if self._async_mapper is not None:
+                    # hand mapping work to the mapper thread (reference
+                    # Map::AddKeyframe/AddFrame queue handoff, map.cc:145-163)
+                    if is_kf:
+                        self._async_mapper.submit_keyframe(
+                            tr, pyr, tr.pose,
+                            jnp.asarray(self.frame_id, jnp.int32), corners,
+                        )
+                    else:
+                        self._async_mapper.submit_frame(
+                            tr, pyr, self.last_pose
+                        )
+                else:
+                    if is_kf:
+                        with self.tracer.span("keyframe"):
+                            self.m, slot = self._add_keyframe(
+                                self.m, pyr, tr.pose,
+                                jnp.asarray(self.frame_id, jnp.int32),
+                                tr.match_pt_idx, tr.match_px, tr.match_ok,
+                                corners.xy, corners.level, corners.valid,
+                            )
+                            with self.tracer.span("ba"):
+                                self.m = self._local_ba(self.m, slot)
+                            self.m = self._prune(self.m)
+                    with self.tracer.span("map_update"):
+                        self.m = self._update_map(self.m, pyr, self.last_pose)
                 self.last_match_idx = tr.match_pt_idx
                 self.last_match_ok = tr.match_ok
 
