@@ -171,3 +171,73 @@ def sampson_error_unit_plane(E: jnp.ndarray, uv_a: jnp.ndarray,
     num = jnp.einsum("...i,...i->...", hb, Ea) ** 2
     den = Ea[..., 0] ** 2 + Ea[..., 1] ** 2 + Etb[..., 0] ** 2 + Etb[..., 1] ** 2
     return num / jnp.maximum(den, 1e-12)
+
+
+def fit_plane_ransac(pts: jnp.ndarray, valid: jnp.ndarray, key,
+                     iters: int = 64, thresh: float = 0.05):
+    """Dominant-plane fit: vmapped 3-point RANSAC + PCA refinement.
+
+    The batched replacement for the reference's serial RANSAC plane search
+    with unseeded rand() (Map::TransformInitialMap, map.cc:714-783): all
+    ``iters`` minimal hypotheses are scored at once, then the winner's
+    inliers are refined by one SVD (the reference's PCA step, map.cc:760-770).
+
+    Returns ``(normal (3,) unit, d ()), inliers (N,)`` with the plane as
+    ``n . p + d = 0``.
+    """
+    import jax
+
+    N = pts.shape[0]
+    k1, _ = jax.random.split(key)
+    idx = jax.random.randint(k1, (iters, 3), 0, N)
+
+    def hypothesis(tri):
+        a, b, c = pts[tri[0]], pts[tri[1]], pts[tri[2]]
+        n = jnp.cross(b - a, c - a)
+        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+        d = -jnp.dot(n, a)
+        dist = jnp.abs(pts @ n + d)
+        score = jnp.sum((dist < thresh) & valid)
+        return score, n, d
+
+    scores, ns, ds = jax.vmap(hypothesis)(idx)
+    best = jnp.argmax(scores)
+    n, d = ns[best], ds[best]
+
+    # PCA refinement on the consensus set
+    w = ((jnp.abs(pts @ n + d) < thresh) & valid).astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    centroid = jnp.sum(pts * w[:, None], axis=0) / wsum
+    centered = (pts - centroid) * w[:, None]
+    cov = centered.T @ centered / wsum
+    _, vecs = jnp.linalg.eigh(cov)
+    n_ref = vecs[:, 0]  # smallest-eigenvalue direction
+    n_ref = n_ref / jnp.maximum(jnp.linalg.norm(n_ref), 1e-12)
+    # keep orientation consistent with the RANSAC winner
+    n_ref = jnp.where(jnp.dot(n_ref, n) < 0, -n_ref, n_ref)
+    d_ref = -jnp.dot(n_ref, centroid)
+    inliers = (jnp.abs(pts @ n_ref + d_ref) < thresh) & valid
+    return (n_ref, d_ref), inliers
+
+
+def rotation_between(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Minimal rotation matrix taking unit vector ``a`` onto unit ``b``
+    (Rodrigues; the reference's GetRotation, map.cc:793-820)."""
+    v = jnp.cross(a, b)
+    c = jnp.dot(a, b)
+    s2 = jnp.dot(v, v)
+    vx = jnp.array([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ])
+    # guard the antiparallel case (c ~= -1): fall back to a 180-deg flip
+    # about any axis orthogonal to a
+    safe = s2 > 1e-12
+    R = jnp.eye(3) + vx + vx @ vx * ((1.0 - c) / jnp.where(safe, s2, 1.0))
+    ortho = jnp.where(jnp.abs(a[0]) < 0.9,
+                      jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    axis = jnp.cross(a, ortho)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+    flip = 2.0 * jnp.outer(axis, axis) - jnp.eye(3)
+    return jnp.where(safe | (c > 0), R, flip)

@@ -62,6 +62,8 @@ class SdvlConfig:
     fast_threshold: float = 10.0
     min_feature_score: float = 50.0
     num_features: int = 1000
+    align_ground_plane: bool = True  # z=0-align the initial map (reference
+                                     # Map::TransformInitialMap, map.cc:704)
 
     # --- TPU-native capacities (static shapes; no reference analogue —
     # the reference grows std::vectors, we preallocate masked slots) ---

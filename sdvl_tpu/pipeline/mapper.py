@@ -254,3 +254,29 @@ def need_keyframe(n_matches, kf_matches, frames_since_kf,
     """
     lost = 1.0 - n_matches / max(float(kf_matches), 1.0)
     return (frames_since_kf >= min_keyframe_its and lost > 0.1) or lost > 0.3
+
+
+def transform_initial_map(m: MapState, key, dist_thresh: float = 0.1):
+    """Rotate/translate the world so the dominant plane of the initial map
+    becomes z = 0 with the cameras on the +z side.
+
+    Mirrors Map::TransformInitialMap (reference map.cc:704-837: RANSAC plane
+    + PCA + rotation to the floor plane) as one jitted program. Returns
+    ``(m', T_new_old (7,))`` — apply ``T`` to any external pose records
+    (e.g. the trajectory) via ``se3.compose(pose, se3.inverse(T))``.
+    """
+    (n, d), _inl = geometry.fit_plane_ransac(
+        m.pt_pos, m.pt_valid, key, thresh=dist_thresh
+    )
+    # orient the plane so the first camera (world origin) is above it
+    flip = d < 0
+    n = jnp.where(flip, -n, n)
+    d = jnp.where(flip, -d, d)
+    R = geometry.rotation_between(n, jnp.asarray([0.0, 0.0, 1.0]))
+    t = jnp.asarray([0.0, 0.0, 1.0]) * d
+    T = se3.from_rt(R, t)  # world_old -> world_new
+
+    pt_pos = se3.transform(T[None], m.pt_pos)
+    kf_pose = se3.compose(m.kf_pose, se3.inverse(T)[None])
+    m = m._replace(pt_pos=pt_pos, kf_pose=kf_pose)
+    return m, T

@@ -215,6 +215,14 @@ class SDVL:
                                    max_points=max_points)
 
         @jax.jit
+        def _transform_initial(m, key):
+            return mapper.transform_initial_map(m, key)
+
+        @jax.jit
+        def _apply_world_tf(pose, T):
+            return se3.compose(pose, se3.inverse(T))
+
+        @jax.jit
         def _motion_update(xi_prev, pose_new, pose_old):
             return tracker.motion_model_update(xi_prev, pose_new, pose_old)
 
@@ -243,6 +251,8 @@ class SDVL:
         self._predict = _predict
         self._relocalize = _relocalize
         self._prune = _prune
+        self._transform_initial = _transform_initial
+        self._apply_world_tf = _apply_world_tf
 
     # ----------------------------------------------------------------- util
     def _crop(self, img: np.ndarray) -> jnp.ndarray:
@@ -297,10 +307,21 @@ class SDVL:
                 )
                 self.m = self._local_ba(self.m, jnp.asarray(1, jnp.int32),
                                         window=1)
-                self.last_pose = boot.pose2
+                self.last_pose = self.m.kf_pose[1]
+                if s.align_ground_plane:
+                    # z=0-align the initial map (Map::TransformInitialMap)
+                    self.m, T = self._transform_initial(
+                        self.m, self._next_key()
+                    )
+                    self.last_pose = self._apply_world_tf(self.last_pose, T)
+                    self.trajectory = [
+                        (fid, np.asarray(self._apply_world_tf(
+                            jnp.asarray(p), T)))
+                        for fid, p in self.trajectory
+                    ]
                 # initial match set = the seeded points' obs in KF1
                 mr = matcher.match_map_points(
-                    self.m, self.intr, pyr, boot.pose2, cell=s.cell_size
+                    self.m, self.intr, pyr, self.last_pose, cell=s.cell_size
                 )
                 self.last_match_idx = mr.pt_idx
                 self.last_match_ok = mr.ok
