@@ -80,15 +80,22 @@ def main(argv=None):
         if not args.config:
             ap.error("--config required unless --synthetic")
         cfg = load_cfg(args.config)
-        path = args.images or cfg.video.path
-        listfile = os.path.join(path, args.filename)
-        with open(listfile) as f:
-            names = [ln.strip() for ln in f if ln.strip()]
-        paths = [os.path.join(path, n) for n in names]
-        from ..io.native_loader import frame_source
+        if cfg.video.type == 0 and not args.images:
+            # live camera (reference Video.type=0)
+            from ..io.dataset import camera_source
 
-        frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
-                              prefer_native=not args.no_native_loader)
+            frames = camera_source(width=cfg.camera.width,
+                                   height=cfg.camera.height)
+        else:
+            path = args.images or cfg.video.path
+            listfile = os.path.join(path, args.filename)
+            with open(listfile) as f:
+                names = [ln.strip() for ln in f if ln.strip()]
+            paths = [os.path.join(path, n) for n in names]
+            from ..io.native_loader import frame_source
+
+            frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
+                                  prefer_native=not args.no_native_loader)
 
     from ..utils.trace import Tracer
 

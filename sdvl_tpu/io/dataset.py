@@ -1,10 +1,12 @@
-"""Dataset readers: image-list sequences (reference-compatible), TUM RGB-D.
+"""Dataset readers: image-list sequences (reference-compatible), TUM RGB-D,
+live camera.
 
 TPU-native replacement for the reference's VideoSource (reference
 video_source.{h,cc}): its image-sequence mode reads filenames line-by-line
-from ``<path>/<filename>`` and loads grayscale frames (video_source.cc:46-79).
-Live-V4L capture mode (video_source.cc:31-45) is out of scope in this
-container (no camera); the reader interface is a plain iterator either way.
+from ``<path>/<filename>`` and loads grayscale frames (video_source.cc:46-79);
+its live-V4L mode opens ``cv::VideoCapture`` and converts to grayscale
+(video_source.cc:31-45) — :func:`camera_source` here. The reader interface
+is a plain iterator either way.
 """
 
 from __future__ import annotations
@@ -36,6 +38,30 @@ def image_list_source(path: str, filename: str = "files.txt"
             if not name:
                 continue
             yield _imread_gray(os.path.join(path, name))
+
+
+def camera_source(device: int = 0, width: Optional[int] = None,
+                  height: Optional[int] = None) -> Iterator[np.ndarray]:
+    """Live camera source (reference Video.type=0, video_source.cc:31-45):
+    grabs BGR frames from ``cv::VideoCapture`` and yields grayscale. Ends
+    when the device stops delivering frames."""
+    import cv2
+
+    cap = cv2.VideoCapture(device)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open camera device {device}")
+    if width:
+        cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
+    if height:
+        cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+    finally:
+        cap.release()
 
 
 def tum_rgb_source(seq_dir: str) -> Iterator[Tuple[float, np.ndarray]]:

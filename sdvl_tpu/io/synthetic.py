@@ -14,9 +14,41 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..core import se3
+def _np_quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    """Rotation matrix from [qw qx qy qz] — host-side twin of
+    core.se3.matrix_from_quat (same layout)."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
 
-import jax.numpy as jnp
+
+def _np_se3_exp(xi: np.ndarray) -> np.ndarray:
+    """[qw qx qy qz tx ty tz] pose from a twist — host-side twin of
+    core.se3.exp (rho first, omega last, same as se3.py)."""
+    rho, omega = xi[:3].astype(np.float64), xi[3:].astype(np.float64)
+    th = np.linalg.norm(omega)
+    if th < 1e-8:
+        q = np.array([1.0, *(0.5 * omega)])
+        V = np.eye(3)
+    else:
+        a = omega / th
+        q = np.array([np.cos(th / 2), *(np.sin(th / 2) * a)])
+        K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+        V = (np.eye(3) + (1 - np.cos(th)) / th * K
+             + (th - np.sin(th)) / th * (K @ K))
+    t = V @ rho
+    return np.concatenate([q / np.linalg.norm(q), t]).astype(np.float32)
+
+
+def _np_se3_inverse(pose: np.ndarray) -> np.ndarray:
+    q = np.asarray(pose[:4], np.float64)
+    R = _np_quat_to_matrix(q)
+    t = np.asarray(pose[4:], np.float64)
+    qinv = q * np.array([1.0, -1, -1, -1])
+    return np.concatenate([qinv, -(R.T @ t)]).astype(np.float32)
 
 
 def make_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
@@ -49,11 +81,13 @@ class PlaneScene:
         self.tex = make_texture(seed=seed)
 
     def render(self, pose_wc: np.ndarray) -> np.ndarray:
-        """Render the view from world->cam pose (7,). Pure NumPy."""
+        """Render the view from world->cam pose (7,). Pure NumPy — fixture
+        code must never touch the device (eager tunnel dispatch can stall
+        for minutes on this runtime)."""
         import cv2
 
-        R = np.asarray(se3.rotation(jnp.asarray(pose_wc)))
-        t = np.asarray(se3.translation(jnp.asarray(pose_wc)))
+        R = _np_quat_to_matrix(np.asarray(pose_wc[:4], np.float64))
+        t = np.asarray(pose_wc[4:], np.float64)
         # cam->world
         Rcw = R.T
         tcw = -R.T @ t
@@ -102,8 +136,7 @@ class PlaneScene:
                 rot_amp * 0.5 * np.sin(2 * np.pi * ph * 0.25),
             ], np.float32)
             # pose maps world->cam: camera moved by exp(xi) => pose = exp(xi)^-1
-            pose = se3.inverse(se3.exp(jnp.asarray(xi)))
-            poses.append(np.asarray(pose))
+            poses.append(_np_se3_inverse(_np_se3_exp(xi)))
         return poses
 
     def sequence(self, n_frames: int, **kw):

@@ -12,6 +12,50 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _pyr_meta(pyr):
+    """Static per-level (flat offset, H, W) tables as NUMPY constants.
+
+    Numpy on purpose: these are closed over / inlined into jitted code, and
+    device-array constants poison the TPU runtime (ops/pyramid.py docstring).
+    """
+    Hs = np.asarray([p.shape[-2] for p in pyr], np.int32)
+    Ws = np.asarray([p.shape[-1] for p in pyr], np.int32)
+    offs = np.concatenate([[0], np.cumsum(Hs.astype(np.int64) * Ws)[:-1]])
+    return offs.astype(np.int32), Hs, Ws
+
+
+def _flat_level_index(pyr, level, xy_l0):
+    """Shared index math for flat-pyramid sampling.
+
+    Returns (idx00, idx01, idx10, idx11, wx, wy) flat indices into the
+    level-concatenated buffer for the 4 bilinear taps of each sample, with
+    per-element pyramid ``level``. One gather per tap regardless of the
+    number of levels — the levels-times-redundant sample-then-select of the
+    naive approach is gone.
+    """
+    offs, Hs, Ws = _pyr_meta(pyr)
+    lvl = jnp.broadcast_to(level, xy_l0.shape[:-1]).astype(jnp.int32)
+    off = jnp.take(offs, lvl)
+    H = jnp.take(Hs, lvl)
+    W = jnp.take(Ws, lvl)
+    scale = jnp.exp2(-lvl.astype(jnp.float32))
+    x = xy_l0[..., 0] * scale
+    y = xy_l0[..., 1] * scale
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, wy = x - x0, y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    idx00 = off + y0i * W + x0i
+    idx01 = off + y0i * W + x1i
+    idx10 = off + y1i * W + x0i
+    idx11 = off + y1i * W + x1i
+    return idx00, idx01, idx10, idx11, wx, wy
 
 
 def bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -127,12 +171,25 @@ def bilinear_indexed_pyramid(pyr_stack, k: jnp.ndarray, level: jnp.ndarray,
 
     ``pyr_stack`` is a tuple of (K, H/2^l, W/2^l) arrays. ``level``
     broadcasts against ``xy_l0``'s leading dims (level-0 coordinates).
+
+    Implementation: all levels of each keyframe flattened into one
+    (K, total) buffer, four taps gathered by computed flat index — 4 gathers
+    total instead of 4 per level (sample-all-then-select). Gathers are the
+    dominant cost of the whole tracker; this is the difference between
+    ~250 ms and tens of ms per mapper step on real hardware.
     """
-    out = None
-    for l, imgs in enumerate(pyr_stack):
-        v = bilinear_indexed(imgs, k, xy_l0 / (1 << l))
-        out = v if out is None else jnp.where(level == l, v, out)
-    return out
+    K = pyr_stack[0].shape[0]
+    flat = jnp.concatenate([p.reshape(K, -1) for p in pyr_stack], axis=1)
+    i00, i01, i10, i11, wx, wy = _flat_level_index(pyr_stack, level, xy_l0)
+    kk = jnp.broadcast_to(k, i00.shape)
+    f = flat.astype(jnp.float32)
+    v00 = f[kk, i00]
+    v01 = f[kk, i01]
+    v10 = f[kk, i10]
+    v11 = f[kk, i11]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
 
 
 def bilinear_pyramid(pyr, level: jnp.ndarray, xy_l0: jnp.ndarray) -> jnp.ndarray:
@@ -140,17 +197,18 @@ def bilinear_pyramid(pyr, level: jnp.ndarray, xy_l0: jnp.ndarray) -> jnp.ndarray
 
     ``pyr`` is a tuple of (H/2^l, W/2^l) images; ``level`` broadcasts against
     the leading dims of ``xy_l0`` (level-0 pixel coords). Pyramid levels have
-    different static shapes, so a dynamic index is impossible; instead every
-    level is sampled and the result selected per lane — levels is small (5)
-    and the VPU eats the redundancy, which beats host-side bucketing by level
-    (the reference's scalar code just branches per feature,
-    matcher.cc:123-230).
+    different static shapes, so a dynamic level index is impossible on the
+    tuple — instead the levels are flattened into ONE 1-D buffer and the
+    four bilinear taps are gathered by computed flat index: 4 gathers total,
+    versus 4 *per level* for the sample-everything-then-select approach.
+    (The reference's scalar code branches per feature, matcher.cc:123-230.)
     """
-    out = None
-    for l, img in enumerate(pyr):
-        v = bilinear(img, xy_l0 / (1 << l))
-        out = v if out is None else jnp.where(level == l, v, out)
-    return out
+    flat = jnp.concatenate([p.reshape(-1) for p in pyr])
+    i00, i01, i10, i11, wx, wy = _flat_level_index(pyr, level, xy_l0)
+    f = flat.astype(jnp.float32)
+    top = f[i00] * (1 - wx) + f[i01] * wx
+    bot = f[i10] * (1 - wx) + f[i11] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def extract_patches_pyramid(pyr, level: jnp.ndarray, centers_l0: jnp.ndarray,
@@ -165,10 +223,8 @@ def extract_patches_pyramid(pyr, level: jnp.ndarray, centers_l0: jnp.ndarray,
     d = jnp.arange(s, dtype=jnp.float32) - half
     oy, ox = jnp.meshgrid(d, d, indexing="ij")
     offs = jnp.stack([ox, oy], axis=-1)  # (s, s, 2)
-    out = None
-    for l, img in enumerate(pyr):
-        pos = centers_l0[:, None, None, :] / (1 << l) + offs[None]
-        v = bilinear(img, pos)
-        sel = (level == l)[:, None, None]
-        out = v if out is None else jnp.where(sel, v, out)
-    return out
+    # positions expressed in LEVEL-0 coords with LEVEL-pixel offsets: add
+    # offs * 2^l, then the flat sampler rescales back — one gather set.
+    scale = jnp.exp2(level.astype(jnp.float32))[:, None, None, None]
+    pos_l0 = centers_l0[:, None, None, :] + offs[None] * scale
+    return bilinear_pyramid(pyr, level[:, None, None], pos_l0)

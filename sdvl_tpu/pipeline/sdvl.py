@@ -215,6 +215,14 @@ class SDVL:
                                    max_points=max_points)
 
         @jax.jit
+        def _match_initial(m, pyr, pose):
+            """Initial match set after bootstrap — jitted: eager dispatch
+            over the device tunnel can stall for minutes per op."""
+            return matcher.match_map_points(
+                m, intr, pyr, pose, cell=s.cell_size, use_orb=s.use_orb
+            )
+
+        @jax.jit
         def _transform_initial(m, key):
             return mapper.transform_initial_map(m, key)
 
@@ -251,6 +259,7 @@ class SDVL:
         self._predict = _predict
         self._relocalize = _relocalize
         self._prune = _prune
+        self._match_initial = _match_initial
         self._transform_initial = _transform_initial
         self._apply_world_tf = _apply_world_tf
 
@@ -320,9 +329,7 @@ class SDVL:
                         for fid, p in self.trajectory
                     ]
                 # initial match set = the seeded points' obs in KF1
-                mr = matcher.match_map_points(
-                    self.m, self.intr, pyr, self.last_pose, cell=s.cell_size
-                )
+                mr = self._match_initial(self.m, pyr, self.last_pose)
                 self.last_match_idx = mr.pt_idx
                 self.last_match_ok = mr.ok
                 self.kf_matches = max(int(mr.ok.sum()), 1)
@@ -348,8 +355,12 @@ class SDVL:
                     self.m = m_tracked
                 # else: the mapper thread owns map writes and replays the
                 # stat fold itself; m_tracked is discarded (runtime.py)
-                n_matches = int(tr.n_matches)
-            n_attempts = int(tr.n_attempts)
+                # one batched device_get: each separate scalar pull costs a
+                # full tunnel round trip
+                n_matches, n_attempts = (
+                    int(v) for v in jax.device_get(
+                        (tr.n_matches, tr.n_attempts))
+                )
             info.update(n_matches=n_matches, n_attempts=n_attempts,
                         # device refs (no transfer unless a consumer, e.g.
                         # viz.VizRecorder, converts them)

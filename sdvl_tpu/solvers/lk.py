@@ -101,21 +101,68 @@ def align_patches_pyramid(pyr, level: jnp.ndarray, ref_patches: jnp.ndarray,
     level (the reference picks a search level per feature from the warp
     determinant, matcher.cc:314-323, then aligns there).
 
-    Levels have distinct static shapes, so each level's alignment runs for
-    all lanes and the per-lane result is selected — `levels` is small and
-    lanes are cheap; this keeps one jitted program instead of host-side
-    bucketing. Positions in/out are level-0 pixel coordinates.
+    One LK loop for all lanes: positions are carried in level-0 coords,
+    per-lane steps/offsets are scaled by 2^level, and sampling goes through
+    the flat-pyramid gather (4 taps per sample at the lane's own level).
+    This replaces the old run-LK-at-every-level-then-select structure,
+    which cost levels x the gathers AND levels x the iterations.
     """
-    out_xy = None
-    for l, img in enumerate(pyr):
-        res = align_patches(img, ref_patches, init_xy_l0 / (1 << l), valid,
-                            iters=iters, max_shift=max_shift / (1 << l))
-        sel = level == l
-        xy_l0 = res.xy * (1 << l)
-        if out_xy is None:
-            out_xy, out_conv, out_err = xy_l0, res.converged, res.error
-        else:
-            out_xy = jnp.where(sel[:, None], xy_l0, out_xy)
-            out_conv = jnp.where(sel, res.converged, out_conv)
-            out_err = jnp.where(sel, res.error, out_err)
-    return AlignResult(xy=out_xy, converged=out_conv & valid, error=out_err)
+    import numpy as np
+
+    N, s, _ = ref_patches.shape
+    half = s // 2
+    lvl = level.astype(jnp.int32)
+    scale = jnp.exp2(lvl.astype(jnp.float32))  # (N,) level->l0 pixel scale
+
+    gx = 0.5 * (jnp.roll(ref_patches, -1, axis=2) - jnp.roll(ref_patches, 1, axis=2))
+    gy = 0.5 * (jnp.roll(ref_patches, -1, axis=1) - jnp.roll(ref_patches, 1, axis=1))
+    edge = jnp.zeros((s, s), bool).at[1:-1, 1:-1].set(True)
+    gx = gx * edge
+    gy = gy * edge
+    ones = jnp.ones_like(gx)
+    J = jnp.stack([gx, gy, ones], axis=-1).reshape(N, s * s, 3)
+    Hmat = jnp.einsum("npi,npj->nij", J, J) + 1e-4 * jnp.eye(3)
+    Hinv = jnp.linalg.inv(Hmat)
+
+    d = jnp.arange(s, dtype=jnp.float32) - half
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    offs = jnp.stack([ox, oy], axis=-1).reshape(s * s, 2)
+    ref_flat = ref_patches.reshape(N, s * s)
+
+    def sample(xy_l0):
+        pos = xy_l0[:, None, :] + offs[None] * scale[:, None, None]
+        return interp.bilinear_pyramid(pyr, lvl[:, None], pos)
+
+    def body(_, carry):
+        xy, beta, active = carry  # xy in level-0 coords
+        cur = sample(xy)
+        r = cur - ref_flat + beta[:, None]
+        g = jnp.einsum("npi,np->ni", J, r)
+        dx = jnp.einsum("nij,nj->ni", Hinv, g)  # step in LEVEL pixels
+        step = jnp.where(active[:, None], dx, 0.0)
+        xy = xy - step[:, :2] * scale[:, None]
+        beta = beta - step[:, 2]
+        active = active & (jnp.abs(step[:, 0]) + jnp.abs(step[:, 1]) > 0.03)
+        return xy, beta, active
+
+    xy0 = init_xy_l0.astype(jnp.float32)
+    beta0 = jnp.zeros((N,), jnp.float32)
+    xy, beta, _ = jax.lax.fori_loop(0, iters, body, (xy0, beta0, valid))
+
+    err = jnp.mean(jnp.abs(sample(xy) - ref_flat + beta[:, None]), axis=-1)
+
+    # in-bounds in each lane's own level frame (numpy tables: see
+    # interp._pyr_meta for why these must not be device constants)
+    Hs = np.asarray([p.shape[0] for p in pyr], np.int32)
+    Ws = np.asarray([p.shape[1] for p in pyr], np.int32)
+    Hl = jnp.take(Hs, lvl).astype(jnp.float32)
+    Wl = jnp.take(Ws, lvl).astype(jnp.float32)
+    xl = xy[:, 0] / scale
+    yl = xy[:, 1] / scale
+    inb = (
+        (xl >= half) & (yl >= half)
+        & (xl < Wl - half - 1) & (yl < Hl - half - 1)
+    )
+    shift = jnp.linalg.norm(xy - xy0, axis=-1)
+    converged = valid & inb & (shift < max_shift)
+    return AlignResult(xy=xy, converged=converged, error=err)
