@@ -49,6 +49,12 @@ def main(argv=None):
     ap.add_argument("--async-mapping", action="store_true",
                     help="run the mapper on its own thread (the reference's "
                          "tracking/mapping thread split; default sequential)")
+    ap.add_argument("--stream", action="store_true",
+                    help="device-resident FSM: one fused launch per frame, "
+                         "no host round trips until the end (the fast path "
+                         "on TPU; per-frame prints happen at exit)")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="with --stream: frames per launch (lax.scan)")
     args = ap.parse_args(argv)
 
     # The container's site config pins jax_platforms (JAX_PLATFORMS is
@@ -96,6 +102,9 @@ def main(argv=None):
 
             frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
                                   prefer_native=not args.no_native_loader)
+
+    if args.stream:
+        return _run_stream(args, cfg, frames)
 
     from ..utils.trace import Tracer
 
@@ -168,6 +177,75 @@ def main(argv=None):
 
         poses_wc = np.stack([p for _, p in slam.trajectory])
         save_tum_trajectory(args.output, stamps, poses_wc)
+        print(f"[INFO] trajectory written to {args.output}")
+    return 0
+
+
+def _run_stream(args, cfg, frames):
+    """Device-FSM path: feed everything, pull results once, then report.
+
+    The per-frame log lines print after the run (pulling scalars mid-run
+    poisons the TPU runtime's launch latency; see pipeline/device_fsm.py).
+    """
+    import time
+
+    from ..pipeline.stream import STATE_NAMES, SdvlStream
+
+    slam = SdvlStream(cfg)
+    n = 0
+    t_first = None
+    t0 = time.perf_counter()
+    if args.chunk > 1:
+        buf = []
+        for img in frames:
+            buf.append(np.asarray(img))
+            if len(buf) == args.chunk:
+                slam.feed_chunk(np.stack(buf))
+                if n == 0:
+                    t_first = time.perf_counter()
+                n += len(buf)
+                buf.clear()
+            if args.max_frames and n >= args.max_frames:
+                break
+        if buf:
+            for img in buf:
+                slam.feed(img)
+                n += 1
+    else:
+        for img in frames:
+            slam.feed(np.asarray(img))
+            if n == 0:
+                t_first = time.perf_counter()
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    slam.block()
+    dt = time.perf_counter() - t0
+    dt_steady = time.perf_counter() - (t_first or t0)
+
+    r = slam.result()
+    if not args.quiet:
+        for i in range(r.n_frames):
+            p = r.trajectory[i]
+            print(f"[INFO] frame {i:5d} {STATE_NAMES[int(r.states[i])]:<12} "
+                  f"matches {int(r.n_matches[i]):3d}/"
+                  f"{int(r.n_attempts[i]):3d} "
+                  f"t=({p[4]:+.3f} {p[5]:+.3f} {p[6]:+.3f})"
+                  + ("  [KF]" if r.is_keyframe[i] else ""))
+    summary = {
+        "frames": n,
+        "keyframes": int(np.asarray(slam.m.kf_valid).sum()),
+        "points": int(np.asarray(slam.m.pt_valid).sum()),
+        "mean_ms": round(dt_steady / max(n - 1, 1) * 1e3, 3),
+        "fps": round((n - 1) / dt_steady, 2) if n > 1 else None,
+        "wall_s": round(dt, 2),
+    }
+    print(json.dumps(summary))
+    if args.output:
+        from ..io.dataset import save_tum_trajectory
+
+        stamps = [i / cfg.video.fps for i in range(r.n_frames)]
+        save_tum_trajectory(args.output, stamps, r.trajectory)
         print(f"[INFO] trajectory written to {args.output}")
     return 0
 

@@ -1,0 +1,139 @@
+"""Multi-stream SPMD serving: N camera streams, one SLAM session each,
+data-parallel over the device mesh.
+
+The reference is strictly one camera / one process (SURVEY.md §2.3); the
+TPU-native scaling story for *serving* is running many independent tracking
+sessions at once — fleet localization, multi-robot, or batch dataset
+evaluation. Each stream's whole state (MapState + SlamCarry) lives sharded
+on its own device along the mesh's ``stream`` axis and every frame batch is
+ONE ``shard_map``-ped launch.
+
+Why ``shard_map`` and not ``vmap``: the per-stream FSM is a ``lax.switch``
+on a per-stream state integer. Under ``vmap`` a batched predicate makes XLA
+execute EVERY branch for every stream each frame (select semantics);
+under ``shard_map`` each device holds exactly its own streams' states, the
+switch index stays scalar within the shard, and only the taken branch runs —
+bootstrap costs nothing once a stream is RUNNING. Streams never communicate:
+no collectives on this axis, scaling is embarrassingly linear over ICI-
+connected chips (the distributed-BA ``point`` axis composes orthogonally,
+dist/ba_sharded.py).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..pipeline.config import Config
+from ..pipeline.device_fsm import (FrameInfo, SlamCarry, init_state,
+                                   make_step)
+from ..pipeline.stream import SlamResult, _rebase_trajectory
+
+
+def _stack_states(states):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+class MultiStream:
+    """N independent SLAM sessions, one fused launch per frame batch.
+
+    ``n_streams`` must be a multiple of the mesh's ``stream``-axis size;
+    each device processes ``n_streams / mesh_size`` sessions sequentially
+    inside the shard (a host-unrolled loop over the local batch dim).
+    """
+
+    def __init__(self, config: Config, mesh: Mesh, n_streams: int,
+                 seed: int = 0, axis: str = "stream"):
+        if n_streams % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"n_streams={n_streams} not divisible by mesh axis "
+                f"{axis}={mesh.shape[axis]}"
+            )
+        self.cfg = config
+        self.mesh = mesh
+        self.axis = axis
+        self.n = n_streams
+        s = config.sdvl
+        H, W = config.camera.height, config.camera.width
+        div = 1 << (s.pyramid_levels - 1)
+        self.crop_h, self.crop_w = (H // div) * div, (W // div) * div
+
+        states = [init_state(config, seed=seed + i) for i in range(n_streams)]
+        stacked_m = _stack_states([m for m, _ in states])
+        stacked_c = _stack_states([c for _, c in states])
+
+        shard = NamedSharding(mesh, P(axis))
+        self.m = jax.device_put(
+            stacked_m, jax.tree_util.tree_map(lambda _: shard, stacked_m)
+        )
+        self.carry = jax.device_put(
+            stacked_c, jax.tree_util.tree_map(lambda _: shard, stacked_c)
+        )
+
+        step = make_step(config, undistort=False)
+
+        def sharded_step(m, carry, imgs):
+            # local shapes: leading dim = n_streams / mesh_size
+            def one(m1, c1, img1):
+                return step(m1, c1, img1, jnp.zeros((1, 1, 2), jnp.float32))
+
+            local = m.kf_valid.shape[0]
+            outs = [
+                one(
+                    jax.tree_util.tree_map(lambda x: x[i], m),
+                    jax.tree_util.tree_map(lambda x: x[i], carry),
+                    imgs[i],
+                )
+                for i in range(local)
+            ]
+            ms, cs, infos = zip(*outs)
+            return (_stack_states(ms), _stack_states(cs),
+                    _stack_states(infos))
+
+        specs_m = jax.tree_util.tree_map(lambda _: P(axis), self.m)
+        specs_c = jax.tree_util.tree_map(lambda _: P(axis), self.carry)
+        out_info_spec = jax.tree_util.tree_map(
+            lambda _: P(axis),
+            FrameInfo(*([0] * len(FrameInfo._fields))),
+        )
+        self._step = jax.jit(
+            jax.shard_map(
+                sharded_step, mesh=mesh,
+                in_specs=(specs_m, specs_c, P(axis)),
+                out_specs=(specs_m, specs_c, out_info_spec),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+        self._infos: List[FrameInfo] = []
+
+    def feed(self, imgs: np.ndarray, block: bool = False) -> FrameInfo:
+        """Process one frame per stream: ``imgs`` is (N, H, W)."""
+        imgs = np.asarray(imgs)[:, : self.crop_h, : self.crop_w]
+        self.m, self.carry, info = self._step(self.m, self.carry, imgs)
+        self._infos.append(info)
+        if block:
+            jax.block_until_ready(info.pose)
+        return info
+
+    def block(self):
+        jax.block_until_ready(self.carry.pose)
+
+    def result(self, stream: int | None = None):
+        """Pull all frames' infos (ONE transfer). Returns a list of
+        per-stream SlamResult, or a single one if ``stream`` given."""
+        host = jax.device_get(self._infos)  # T entries of FrameInfo (N, ...)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *host
+        )  # (T, N, ...)
+        results = []
+        for i in range(self.n):
+            fi = jax.tree_util.tree_map(lambda x: x[:, i], stacked)
+            results.append(SlamResult(fi))
+        if stream is not None:
+            return results[stream]
+        return results

@@ -289,7 +289,8 @@ def make_step(cfg: Config, undistort: bool):
         is_lost = carry.state == STATE_LOST
 
         def do_reloc(_):
-            rl = relocalize.relocalize(m, intr, pyr, carry.pose)
+            rl = relocalize.relocalize(m, intr, pyr, carry.pose,
+                                       level=min(4, levels - 1))
             return rl.pose
 
         def do_predict(_):
@@ -346,8 +347,11 @@ def make_step(cfg: Config, undistort: bool):
                     tr.match_pt_idx, tr.match_px, tr.match_ok,
                     corners.xy, corners.level, corners.valid, s.cell_size,
                 )
-                m = mapper.local_ba(m, intr, slot, window=10,
-                                    max_points=min(s.max_points, 512))
+                m = mapper.local_ba(
+                    m, intr, slot,
+                    window=min(10, s.max_keyframes - 1),
+                    max_points=min(s.max_points, 512),
+                )
                 m = mapper.prune_weak_points(m)
                 return mapper.check_redundant_keyframes(m)
 
