@@ -192,6 +192,11 @@ def _run_stream(args, cfg, frames):
     from ..pipeline.stream import STATE_NAMES, SdvlStream
 
     slam = SdvlStream(cfg)
+    if args.resume:
+        from ..io.snapshot import load_stream_snapshot
+
+        load_stream_snapshot(slam, args.resume)
+        print(f"[INFO] resumed stream session from {args.resume}")
     n = 0
     t_first = None
     t0 = time.perf_counter()
@@ -241,6 +246,11 @@ def _run_stream(args, cfg, frames):
         "wall_s": round(dt, 2),
     }
     print(json.dumps(summary))
+    if args.snapshot:
+        from ..io.snapshot import save_stream_snapshot
+
+        save_stream_snapshot(slam, args.snapshot)
+        print(f"[INFO] session checkpoint written to {args.snapshot}")
     if args.output:
         from ..io.dataset import save_tum_trajectory
 

@@ -177,3 +177,77 @@ def save_trajectory_tum(slam, path: str, timestamps=None) -> None:
     stamps = [timestamps[i] if timestamps is not None else float(i)
               for i in ids]
     save_tum_trajectory(path, stamps, poses)
+
+
+# ------------------------------------------------------------------ stream
+def _tree_to_arrays(prefix: str, tree) -> dict:
+    """Flatten a NamedTuple-of-(arrays|tuples) into npz-safe keyed arrays."""
+    out = {}
+    for name, val in tree._asdict().items():
+        if isinstance(val, tuple):
+            for i, leaf in enumerate(val):
+                out[f"{prefix}.{name}.{i}"] = np.asarray(leaf)
+        else:
+            out[f"{prefix}.{name}"] = np.asarray(val)
+    return out
+
+
+def _tree_from_arrays(prefix: str, cls, z):
+    kw = {}
+    for name in cls._fields:
+        flat_key = f"{prefix}.{name}"
+        if flat_key in z.files:
+            kw[name] = jnp.asarray(z[flat_key])
+        else:
+            n = sum(1 for k in z.files if k.startswith(flat_key + "."))
+            kw[name] = tuple(
+                jnp.asarray(z[f"{flat_key}.{i}"]) for i in range(n)
+            )
+    return cls(**kw)
+
+
+def save_stream_snapshot(stream, path: str) -> None:
+    """Checkpoint an :class:`~sdvl_tpu.pipeline.stream.SdvlStream` session.
+
+    The stream's entire state is two pytrees (MapState + SlamCarry), so the
+    checkpoint is exact and complete. NOTE: this transfers device->host,
+    which on the tunnel runtime permanently degrades subsequent launch
+    latency (pipeline/device_fsm.py docstring) — checkpoint at sequence
+    boundaries / process handoff, not inside the hot loop.
+    """
+    arrays = _tree_to_arrays("map", stream.m)
+    arrays.update(_tree_to_arrays("carry", stream.carry))
+    arrays["host_json"] = np.frombuffer(
+        json.dumps({"format_version": FORMAT_VERSION,
+                    "kind": "stream"}).encode(), dtype=np.uint8
+    )
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_stream_snapshot(stream, path: str):
+    """Restore a stream session; capacities must match the config."""
+    from ..pipeline.device_fsm import SlamCarry
+
+    with np.load(path) as z:
+        host = json.loads(bytes(z["host_json"]).decode())
+        if host.get("format_version") != FORMAT_VERSION:
+            raise ValueError(f"snapshot format {host.get('format_version')}")
+        m = _tree_from_arrays("map", MapState, z)
+        if m.capacities != stream.m.capacities:
+            raise ValueError(
+                f"snapshot capacities {m.capacities} != config "
+                f"{stream.m.capacities}"
+            )
+        stream.m = m
+        stream.carry = _tree_from_arrays("carry", SlamCarry, z)
+    return stream

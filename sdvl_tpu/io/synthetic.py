@@ -73,12 +73,29 @@ class PlaneScene:
     """
 
     def __init__(self, fx=420.0, fy=420.0, cx=319.5, cy=239.5,
-                 width=640, height=480, plane_z=4.0, extent=6.0, seed=0):
+                 width=640, height=480, plane_z=4.0, extent=6.0, seed=0,
+                 dist=None):
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.width, self.height = width, height
         self.plane_z = plane_z
         self.extent = extent
+        self.dist = None if dist is None else np.asarray(dist, np.float64)
         self.tex = make_texture(seed=seed)
+
+    def _undistort_normalized(self, x_d, y_d, iters: int = 8):
+        """Invert the radial-tangential model (k1 k2 p1 p2 k3, the
+        reference camera.cc layout) by fixed point — so ``render`` can
+        produce frames as seen through a DISTORTED lens."""
+        k1, k2, p1, p2, k3 = (list(self.dist) + [0.0] * 5)[:5]
+        x_u, y_u = x_d.copy(), y_d.copy()
+        for _ in range(iters):
+            r2 = x_u * x_u + y_u * y_u
+            k = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            dx = 2 * p1 * x_u * y_u + p2 * (r2 + 2 * x_u * x_u)
+            dy = p1 * (r2 + 2 * y_u * y_u) + 2 * p2 * x_u * y_u
+            x_u = (x_d - dx) / k
+            y_u = (y_d - dy) / k
+        return x_u, y_u
 
     def render(self, pose_wc: np.ndarray) -> np.ndarray:
         """Render the view from world->cam pose (7,). Pure NumPy — fixture
@@ -93,10 +110,11 @@ class PlaneScene:
         tcw = -R.T @ t
 
         u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
-        rays = np.stack(
-            [(u - self.cx) / self.fx, (v - self.cy) / self.fy,
-             np.ones_like(u, np.float64)], axis=-1,
-        )
+        xn = (u - self.cx) / self.fx
+        yn = (v - self.cy) / self.fy
+        if self.dist is not None and np.any(self.dist != 0):
+            xn, yn = self._undistort_normalized(xn, yn)
+        rays = np.stack([xn, yn, np.ones_like(u, np.float64)], axis=-1)
         rays_w = rays @ Rcw.T
         # intersect z = plane_z: tcw_z + s * ray_z = plane_z
         denom = rays_w[..., 2]

@@ -287,26 +287,39 @@ def make_step(cfg: Config, undistort: bool):
     def running(m, carry, pyr, corners):
         """One steady-state tracking step (sdvl.cc:55-130 RUNNING/LOST)."""
         is_lost = carry.state == STATE_LOST
+        S = carry.last_idx.shape[0]
 
         def do_reloc(_):
+            """Relocalize (sdvl.cc:205-238): the alignment reference becomes
+            the best-matching KEYFRAME (its pyramid, pose and observed
+            points), not the previous — possibly garbage — frame."""
             rl = relocalize.relocalize(m, intr, pyr, carry.pose,
                                        level=min(4, levels - 1))
-            return rl.pose
+            ref_pyr = tuple(p[rl.kf] for p in m.kf_pyr)
+            obs = m.obs_mask[rl.kf] & m.pt_valid
+            order = jnp.argsort(~obs)[:S].astype(jnp.int32)
+            return ref_pyr, order, obs[order], m.kf_pose[rl.kf], rl.pose
 
         def do_predict(_):
-            return se3.compose(se3.exp(carry.xi_model), carry.pose)
+            pred = se3.compose(se3.exp(carry.xi_model), carry.pose)
+            return (carry.last_pyr, carry.last_idx, carry.last_ok,
+                    carry.pose, pred)
 
-        pose_pred = jax.lax.cond(is_lost, do_reloc, do_predict, None)
+        ref_pyr, ref_idx, ref_ok, pose_ref, pose_pred = jax.lax.cond(
+            is_lost, do_reloc, do_predict, None
+        )
 
         tr = tracker.track_frame(
-            m, intr, carry.last_pyr, carry.last_idx, carry.last_ok,
-            carry.pose, pyr, pose_pred,
+            m, intr, ref_pyr, ref_idx, ref_ok,
+            pose_ref, pyr, pose_pred,
             cell=s.cell_size, align_max_level=s.max_align_level,
             align_min_level=s.min_align_level,
             align_iters=max(s.max_img_align_its // 3, 1),
             pose_iters=s.max_optim_pose_its,
             inlier_thresh_px=s.inlier_error_threshold,
             use_orb=s.use_orb,
+            ransac_key=jax.random.fold_in(carry.key, carry.frame_id),
+            ransac_hypotheses=s.ransac_hypotheses,
         )
         m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
 
@@ -333,6 +346,11 @@ def make_step(cfg: Config, undistort: bool):
             xi_model, _ = tracker.motion_model_update(
                 carry.xi_model, tr.pose, carry.pose
             )
+            # recovering from LOST: the previous pose was a relocalization
+            # guess, so the velocity estimate is meaningless — coast from
+            # rest (the reference re-enters RUNNING the same way,
+            # sdvl.cc:83-89 after Relocalize)
+            xi_model = jnp.where(is_lost, jnp.zeros_like(xi_model), xi_model)
             frames_since_kf = carry.frames_since_kf + 1
             # keyframe policy (Map::NeedKeyframe, map.cc:170-188)
             lost = 1.0 - tr.n_matches / jnp.maximum(

@@ -45,9 +45,12 @@ def relocalize(m: MapState, intr, cur_pyr, pose_guess: jnp.ndarray,
     pts = m.pt_pos[order]                                     # (K, Mp, 3)
 
     def one(kf_pyr_l, kf_pose, pts_k, ok_k):
+        # each lane starts from ITS OWN keyframe pose (the reference aligns
+        # kf -> current per keyframe, sdvl.cc:217-222); the caller's global
+        # pose guess is typically garbage by the time tracking is lost
         res = image_align._level_align(
             kf_pyr_l, cur_pyr[level], intr, level,
-            pts_k, ok_k, kf_pose, pose_guess, iters,
+            pts_k, ok_k, kf_pose, kf_pose, iters,
         )
         pose, chi2, n = res
         chi2 = jnp.where(n > 10, chi2, jnp.inf)

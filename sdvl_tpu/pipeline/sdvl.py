@@ -83,6 +83,9 @@ class SDVL:
         self.kf_matches = 1
         self.lost_frames = 0
         self.key = jax.random.PRNGKey(seed)
+        # immutable base key: per-frame fold_in must match the device FSM's
+        # (carry.key never mutates there) so both drivers gate identically
+        self.key0 = jax.random.PRNGKey(seed)
 
         # device-side inter-frame state
         self.last_pyr = None
@@ -171,7 +174,7 @@ class SDVL:
 
         @jax.jit
         def _track(m, last_pyr, last_idx, last_ok, pose_last, cur_pyr,
-                   pose_pred):
+                   pose_pred, key):
             tr = tracker.track_frame(
                 m, intr, last_pyr, last_idx, last_ok, pose_last,
                 cur_pyr, pose_pred,
@@ -181,6 +184,7 @@ class SDVL:
                 pose_iters=s.max_optim_pose_its,
                 inlier_thresh_px=s.inlier_error_threshold,
                 use_orb=s.use_orb,
+                ransac_key=key, ransac_hypotheses=s.ransac_hypotheses,
             )
             m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
             return m, tr
@@ -350,6 +354,7 @@ class SDVL:
                 m_tracked, tr = self._track(
                     self.m, self.last_pyr, self.last_match_idx,
                     self.last_match_ok, self.last_pose, pyr, pose_pred,
+                    jax.random.fold_in(self.key0, self.frame_id),
                 )
                 if self._async_mapper is None:
                     self.m = m_tracked

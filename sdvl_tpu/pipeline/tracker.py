@@ -38,13 +38,18 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
                 cell: int = 32, align_max_level: int = 4,
                 align_min_level: int = 2, align_iters: int = 10,
                 pose_iters: int = 10, inlier_thresh_px: float = 2.0,
-                use_orb: bool = False,
+                use_orb: bool = False, ransac_key: jnp.ndarray | None = None,
+                ransac_hypotheses: int = 64,
                 ) -> TrackResult:
     """One tracking step (reference sdvl.cc:179-203 + feature_align.cc).
 
     ``last_pt_idx``/``last_ok`` are the previous frame's match set — its
     "features with points" in reference terms — used both for direct
-    alignment and as the quality baseline.
+    alignment and as the quality baseline. With ``ransac_key``, matches are
+    additionally gated by a vmapped 5-point pose RANSAC before the robust
+    optimization (reference SelectInliers, feature_align.cc:152-216, with
+    its 2x rescue threshold at :258-283); without a key the Tukey IRLS
+    alone handles outliers.
     """
     pts_last = m.pt_pos[last_pt_idx]
 
@@ -59,11 +64,27 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
                                   use_orb=use_orb)
 
     thresh = inlier_thresh_px / jnp.minimum(intr.fx, intr.fy)
+    ok = mr.ok
+    if ransac_key is not None:
+        from ..core import camera as cam
+
+        pose_r = pose_opt.ransac(
+            ia.pose, m.pt_pos[mr.pt_idx], mr.uv, ok, ransac_key,
+            n_hyp=ransac_hypotheses, inlier_thresh=thresh,
+        )
+        p_cam = se3.transform(pose_r, m.pt_pos[mr.pt_idx])
+        r = jnp.linalg.norm(
+            mr.uv - cam.project_unit_plane(p_cam), axis=-1
+        )
+        gated = ok & (r < 2.0 * thresh) & (p_cam[..., 2] > 0)
+        # keep the gate only if RANSAC found real consensus — otherwise it
+        # would wipe the match set on a degenerate sample
+        ok = jnp.where(jnp.sum(gated) >= 8, gated, ok)
     po = pose_opt.optimize(
-        ia.pose, m.pt_pos[mr.pt_idx], mr.uv, mr.ok,
+        ia.pose, m.pt_pos[mr.pt_idx], mr.uv, ok,
         iters=pose_iters, inlier_thresh=thresh,
     )
-    ok = mr.ok & po.inliers
+    ok = ok & po.inliers
     return TrackResult(
         pose=po.pose,
         match_pt_idx=mr.pt_idx,

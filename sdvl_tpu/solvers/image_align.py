@@ -79,10 +79,18 @@ def _level_align(pyr_ref_l: jnp.ndarray, pyr_cur_l: jnp.ndarray, intr,
         r = (cur_val - ref_val) * m
         return r, m
 
+    def _chi2(r, m):
+        # a pose that throws (almost) every point out of the current view
+        # must score as bad, not as a perfect zero-residual fit — otherwise
+        # rollback (and relocalization lane selection) prefers garbage
+        n_eff = jnp.sum(m)
+        raw = jnp.sum(r * r) / jnp.maximum(n_eff, 1.0)
+        return jnp.where(n_eff >= 5.0, raw, jnp.inf)
+
     def body(_, carry):
         T_cr, best_T, best_chi2 = carry
         r, m = residuals(T_cr)
-        chi2 = jnp.sum(r * r) / jnp.maximum(jnp.sum(m) , 1.0)
+        chi2 = _chi2(r, m)
         # keep the best pose seen so far (functional rollback)
         better = chi2 < best_chi2
         best_T = jnp.where(better, T_cr, best_T)
@@ -97,7 +105,7 @@ def _level_align(pyr_ref_l: jnp.ndarray, pyr_cur_l: jnp.ndarray, intr,
     T_cr, best_T, best_chi2 = jax.lax.fori_loop(0, iters, body, init)
     # last evaluation to possibly accept the final iterate
     r, m = residuals(T_cr)
-    chi2 = jnp.sum(r * r) / jnp.maximum(jnp.sum(m), 1.0)
+    chi2 = _chi2(r, m)
     better = chi2 < best_chi2
     best_T = jnp.where(better, T_cr, best_T)
     best_chi2 = jnp.where(better, chi2, best_chi2)

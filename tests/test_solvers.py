@@ -220,3 +220,42 @@ def test_ba_gates_outlier_observations():
     inl = np.asarray(res.inlier_mask)
     assert inl[bad].mean() < 0.2, f"outliers kept: {inl[bad].mean()}"
     assert inl[mask & ~bad].mean() > 0.9
+
+
+def test_pose_ransac_rejects_gross_outliers():
+    """Vmapped 5-point RANSAC (reference SelectInliers,
+    feature_align.cc:152-216) recovers the pose when 30% of matches are
+    garbage — the case plain IRLS can be dragged away by."""
+    import jax
+
+    from sdvl_tpu.core import camera as cam
+    from sdvl_tpu.core import se3
+    from sdvl_tpu.solvers import pose as pose_opt
+
+    rs = np.random.default_rng(3)
+    N = 120
+    pts = jnp.asarray(rs.uniform([-2, -2, 3], [2, 2, 8], (N, 3)),
+                      jnp.float32)
+    pose_true = se3.exp(jnp.asarray([0.08, -0.05, 0.02, 0.01, -0.02, 0.015],
+                                    jnp.float32))
+    uv = cam.project_unit_plane(se3.transform(pose_true, pts))
+    # 30% gross outliers
+    n_out = N * 3 // 10
+    uv = uv.at[:n_out].add(
+        jnp.asarray(rs.uniform(0.05, 0.3, (n_out, 2)) *
+                    rs.choice([-1, 1], (n_out, 2)), jnp.float32)
+    )
+    valid = jnp.ones(N, bool)
+    pose_r = pose_opt.ransac(
+        se3.identity(), pts, uv, valid, jax.random.PRNGKey(0),
+        inlier_thresh=2.0 / 500.0,
+    )
+    # consensus pose classifies the outliers correctly
+    p_cam = se3.transform(pose_r, pts)
+    r = jnp.linalg.norm(uv - cam.project_unit_plane(p_cam), axis=-1)
+    inl = r < 2.0 / 500.0
+    assert not bool(inl[:n_out].any()), "outliers accepted"
+    assert float(inl[n_out:].mean()) > 0.95
+    err = np.linalg.norm(np.asarray(se3.log(
+        se3.compose(pose_r, se3.inverse(pose_true)))))
+    assert err < 5e-3, err

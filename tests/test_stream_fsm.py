@@ -113,3 +113,84 @@ def test_uint8_input_equivalent():
     rf, ru = st_f.result(), st_u.result()
     np.testing.assert_array_equal(rf.states, ru.states)
     np.testing.assert_allclose(rf.trajectory, ru.trajectory, atol=1e-5)
+
+
+def test_stream_snapshot_resume(tmp_path):
+    """Checkpoint mid-sequence, resume in a fresh session, same trajectory."""
+    from sdvl_tpu.io.snapshot import (load_stream_snapshot,
+                                      save_stream_snapshot)
+
+    cfg, frames, _ = _setup(n=24)
+    a = SdvlStream(cfg, seed=0)
+    for f in frames[:14]:
+        a.feed(f)
+    p = str(tmp_path / "session.npz")
+    save_stream_snapshot(a, p)
+
+    b = SdvlStream(cfg, seed=0)
+    load_stream_snapshot(b, p)
+    for f in frames[14:]:
+        a.feed(f)
+        b.feed(f)
+    ra, rb = a.result(), b.result()
+    np.testing.assert_allclose(ra.trajectory[-10:], rb.trajectory[-10:],
+                               atol=1e-5)
+    np.testing.assert_array_equal(ra.states[-10:], rb.states[-10:])
+
+
+def test_lost_and_relocalize():
+    """Occlusion -> LOST -> revisit -> relocalize and keep tracking.
+
+    Mirrors the reference's lost-frame counter + keyframe relocalization
+    sweep (sdvl.cc:73-89, 205-238): three bad frames trip LOST, and once the
+    mapped area is visible again the keyframe-referenced alignment recovers
+    the pose and tracking resumes at full match counts.
+    """
+    cfg, frames, _ = _setup(n=30)
+    st = SdvlStream(cfg, seed=0)
+    for f in frames[:18]:
+        st.feed(f)
+    blank = np.zeros((240, 320), np.float32)
+    for _ in range(5):
+        st.feed(blank)
+    for f in frames[18:30]:
+        st.feed(f)
+    r = st.result()
+    assert (r.states == 3).any(), "never went LOST"
+    assert r.state_name() == "RUNNING", r.states
+    # solid tracking after recovery
+    assert (r.n_matches[-6:] >= cfg.sdvl.min_matches).all(), r.n_matches[-8:]
+
+
+def test_distorted_lens_end_to_end():
+    """Frames rendered through a distorted lens, undistorted on device.
+
+    Exercises the remap path (reference Camera::UndistortImage,
+    camera.cc:100-105, done per frame with cv::undistort; here a precomputed
+    gather grid inside the fused step) with TUM-fr1-like radial distortion.
+    """
+    from sdvl_tpu.io import evaluate
+
+    dist = (-0.28, 0.07, 0.0002, -0.0001, 0.0)
+    scene = PlaneScene(fx=210.0, fy=210.0, cx=159.5, cy=119.5,
+                       width=320, height=240, plane_z=4.0, dist=dist)
+    cfg = Config(
+        camera=CameraConfig(width=320, height=240, fx=210.0, fy=210.0,
+                            u0=159.5, v0=119.5, dist=dist),
+        sdvl=SdvlConfig(cell_size=32, min_avg_shift=5.0, max_keyframes=10,
+                        min_keyframe_its=5, min_init_corners=30,
+                        max_points=512, max_candidates=256, min_matches=15,
+                        map_scale=4.0),
+    )
+    poses = scene.trajectory(30)
+    st = SdvlStream(cfg, seed=0)
+    for p in poses:
+        st.feed(scene.render(p))
+    r = st.result()
+    assert r.state_name() == "RUNNING"
+    start = int(np.argmax(r.states == 2))
+    p_gt = evaluate.positions_from_poses(np.stack(poses[start:]))
+    p_est = evaluate.positions_from_poses(r.trajectory[start:])
+    extent = float(np.linalg.norm(np.ptp(p_gt, axis=0)))
+    ate = evaluate.ate_rmse(p_est, p_gt, with_scale=True)
+    assert ate < 0.03 * max(extent, 1e-6), f"ATE {ate} vs extent {extent}"
