@@ -192,6 +192,7 @@ def _run_stream(args, cfg, frames):
     from ..pipeline.stream import STATE_NAMES, SdvlStream
 
     slam = SdvlStream(cfg)
+    keep_frames = [] if args.viz else None
     if args.resume:
         from ..io.snapshot import load_stream_snapshot
 
@@ -204,6 +205,8 @@ def _run_stream(args, cfg, frames):
         buf = []
         for img in frames:
             buf.append(np.asarray(img))
+            if keep_frames is not None:
+                keep_frames.append(buf[-1])
             if len(buf) == args.chunk:
                 slam.feed_chunk(np.stack(buf))
                 if n == 0:
@@ -218,7 +221,10 @@ def _run_stream(args, cfg, frames):
                 n += 1
     else:
         for img in frames:
-            slam.feed(np.asarray(img))
+            img = np.asarray(img)
+            if keep_frames is not None:
+                keep_frames.append(img)
+            slam.feed(img)
             if n == 0:
                 t_first = time.perf_counter()
             n += 1
@@ -246,6 +252,12 @@ def _run_stream(args, cfg, frames):
         "wall_s": round(dt, 2),
     }
     print(json.dumps(summary))
+    if args.viz:
+        from ..viz import render_stream_session
+
+        render_stream_session(slam, r, keep_frames, out_dir=args.viz,
+                              every=args.viz_every)
+        print(f"[INFO] visualization written to {args.viz}")
     if args.snapshot:
         from ..io.snapshot import save_stream_snapshot
 

@@ -56,3 +56,68 @@ class VizRecorder:
             import matplotlib.pyplot as plt
 
             plt.imsave(path, rgb)
+
+
+def render_stream_session(stream, result, frames=None, out_dir: str = "viz",
+                          every: int = 10) -> None:
+    """Post-run visualization for a device-FSM stream session.
+
+    The stream driver never pulls per-frame data mid-run (that would poison
+    the TPU runtime's launch latency — pipeline/device_fsm.py), so instead
+    of recording live like :class:`VizRecorder`, this renders everything
+    after :meth:`SdvlStream.result`:
+
+      * ``trajectory.png`` + ``map_final.png`` from the final MapState,
+      * per-frame overlays every ``every`` frames (if the original frames
+        are provided) with the final map points reprojected through each
+        recorded pose — the post-hoc equivalent of DrawImage's live feature
+        dots (ui/drawimage.cc:53-94).
+    """
+    import numpy as np
+
+    from ..core import se3
+    from .scene import plot_map, plot_trajectory
+
+    os.makedirs(out_dir, exist_ok=True)
+    traj = [(i, result.trajectory[i]) for i in range(result.n_frames)]
+    plot_trajectory(result.trajectory,
+                    path=os.path.join(out_dir, "trajectory.png"))
+    plot_map(stream.m, traj, path=os.path.join(out_dir, "map_final.png"))
+
+    if frames is None:
+        return
+    pts = np.asarray(stream.m.pt_pos)[np.asarray(stream.m.pt_valid)]
+    if not len(pts):
+        return
+    import jax.numpy as jnp
+
+    from ..pipeline.config import intrinsics
+
+    intr = intrinsics(stream.cfg)
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    for i in range(0, min(len(frames), result.n_frames), max(1, every)):
+        if result.states[i] != 2:
+            continue
+        pose = np.asarray(result.trajectory[i], np.float64)
+        w, x, y, z = pose[:4] / np.linalg.norm(pose[:4])
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        p_cam = pts @ R.T + pose[4:]
+        zok = p_cam[:, 2] > 1e-3
+        px = np.stack([
+            fx * p_cam[:, 0] / np.maximum(p_cam[:, 2], 1e-6) + cx,
+            fy * p_cam[:, 1] / np.maximum(p_cam[:, 2], 1e-6) + cy,
+        ], -1)
+        H, W = stream.crop_h, stream.crop_w
+        inb = zok & (px[:, 0] >= 0) & (px[:, 0] < W) & (px[:, 1] >= 0) & (px[:, 1] < H)
+        rgb = draw_frame_overlay(
+            np.asarray(frames[i])[:H, :W], px[inb],
+            np.ones(int(inb.sum()), bool),
+        )
+        VizRecorder._save_png(
+            os.path.join(out_dir, f"frame_{i:06d}.png"), rgb
+        )

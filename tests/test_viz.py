@@ -82,3 +82,37 @@ def test_recorder_in_loop(tmp_path):
     maps = list(tmp_path.glob("map_*.png"))
     assert maps, "no map figures written"
     assert overlays, "no overlays written (RUNNING frames hit the cadence)"
+
+
+def test_render_stream_session(tmp_path):
+    """Post-run renderer for the device-FSM stream driver."""
+    import numpy as np
+
+    from sdvl_tpu.io.synthetic import PlaneScene
+    from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
+    from sdvl_tpu.pipeline.stream import SdvlStream
+    from sdvl_tpu.viz import render_stream_session
+
+    scene = PlaneScene(fx=120.0, fy=120.0, cx=79.5, cy=63.5,
+                       width=160, height=128, plane_z=4.0)
+    cfg = Config(
+        camera=CameraConfig(width=160, height=128, fx=120.0, fy=120.0,
+                            u0=79.5, v0=63.5, dist=(0, 0, 0, 0, 0)),
+        sdvl=SdvlConfig(cell_size=16, min_avg_shift=3.0, max_keyframes=6,
+                        min_keyframe_its=5, min_init_corners=15,
+                        min_matches=8, max_points=256, max_candidates=64,
+                        map_scale=4.0),
+    )
+    frames = [scene.render(p)
+              for p in scene.trajectory(14, translation_amp=1.2)]
+    st = SdvlStream(cfg, seed=0)
+    for f in frames:
+        st.feed(f)
+    r = st.result()
+    out = str(tmp_path / "viz")
+    render_stream_session(st, r, frames, out_dir=out, every=5)
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "trajectory.png" in names and "map_final.png" in names
+    assert any(n.startswith("frame_") for n in names)
