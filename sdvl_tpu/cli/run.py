@@ -49,6 +49,11 @@ def main(argv=None):
     ap.add_argument("--async-mapping", action="store_true",
                     help="run the mapper on its own thread (the reference's "
                          "tracking/mapping thread split; default sequential)")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="refine the WHOLE map with full bundle adjustment "
+                         "at end of run (the reference tops out at 11-KF "
+                         "local BA) and rebase the trajectory by each "
+                         "keyframe's correction")
     ap.add_argument("--stream", action="store_true",
                     help="device-resident FSM: one fused launch per frame, "
                          "no host round trips until the end (the fast path "
@@ -69,6 +74,7 @@ def main(argv=None):
     from ..pipeline.sdvl import SDVL
 
     stamps = []
+    gt_poses = None
     if args.synthetic:
         from ..io.synthetic import PlaneScene
 
@@ -81,6 +87,7 @@ def main(argv=None):
                             map_scale=4.0),
         )
         poses = scene.trajectory(args.synthetic, translation_amp=1.0)
+        gt_poses = np.stack(poses)
         frames = (scene.render(p) for p in poses)
     else:
         if not args.config:
@@ -104,7 +111,7 @@ def main(argv=None):
                                   prefer_native=not args.no_native_loader)
 
     if args.stream:
-        return _run_stream(args, cfg, frames)
+        return _run_stream(args, cfg, frames, gt_poses)
 
     from ..utils.trace import Tracer
 
@@ -128,11 +135,13 @@ def main(argv=None):
         recorder = VizRecorder(args.viz, every=args.viz_every)
 
     times = []
+    frame_states = {}
     n = 0
     for img in frames:
         t0 = time.perf_counter()
         img = np.asarray(img)
         info = slam.handle_frame(img)
+        frame_states[info["frame_id"]] = info["state"]
         if recorder is not None:
             recorder.record(slam, img, info)
         dt = (time.perf_counter() - t0) * 1e3
@@ -151,6 +160,12 @@ def main(argv=None):
     if async_mapper is not None:
         async_mapper.stop()
 
+    traj_ids = np.asarray([fid for fid, _ in slam.trajectory])
+    traj = np.stack([p for _, p in slam.trajectory]) if slam.trajectory \
+        else np.zeros((0, 7), np.float32)
+    if args.global_ba:
+        traj = _apply_global_ba(slam, cfg, traj, traj_ids)
+
     steady = times[min(20, len(times) // 2):]
     summary = {
         "frames": n,
@@ -159,6 +174,16 @@ def main(argv=None):
         "mean_ms": round(float(np.mean(steady)), 2) if steady else None,
         "fps": round(1e3 / float(np.mean(steady)), 2) if steady else None,
     }
+    # ATE vs synthetic ground truth (frame ids of a resumed session don't
+    # correspond to this run's rendered poses — skip there)
+    if gt_poses is not None and len(traj) and not args.resume:
+        in_gt = traj_ids < len(gt_poses)
+        tracked = np.asarray([
+            frame_states.get(int(fid)) == "RUNNING" for fid in traj_ids
+        ]) & in_gt
+        summary["ate_rmse"] = _ate_vs_gt(
+            traj, gt_poses[np.clip(traj_ids, 0, len(gt_poses) - 1)], tracked
+        )
     print(json.dumps(summary))
 
     if args.trace:
@@ -175,13 +200,55 @@ def main(argv=None):
     if args.output:
         from ..io.dataset import save_tum_trajectory
 
-        poses_wc = np.stack([p for _, p in slam.trajectory])
-        save_tum_trajectory(args.output, stamps, poses_wc)
+        save_tum_trajectory(args.output, stamps, traj)
         print(f"[INFO] trajectory written to {args.output}")
     return 0
 
 
-def _run_stream(args, cfg, frames):
+def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
+    """Sim(3)-aligned ATE RMSE of the run vs synthetic ground truth.
+
+    ``tracked`` masks to frames where the system was actually tracking
+    (pre-bootstrap identity poses would dominate the alignment otherwise).
+    """
+    from ..io import evaluate
+
+    traj_wc = np.asarray(traj_wc)
+    gt_wc = np.asarray(gt_wc)
+    if tracked is not None and tracked.any():
+        traj_wc, gt_wc = traj_wc[tracked], gt_wc[tracked]
+    if len(traj_wc) < 3:
+        return None
+    p_est = evaluate.positions_from_poses(traj_wc)
+    p_gt = evaluate.positions_from_poses(gt_wc)
+    return round(evaluate.ate_rmse(p_est, p_gt, with_scale=True), 4)
+
+
+def _apply_global_ba(slam, cfg, traj, traj_ids):
+    """Full-map BA on the final MapState + trajectory rebase (both drivers).
+
+    Runs once, off the hot path, so the device round trips are free here.
+    """
+    from ..io.evaluate import rebase_trajectory
+    from ..pipeline import mapper
+    from ..pipeline.config import intrinsics
+
+    m = slam.m
+    kf_old = np.asarray(m.kf_pose)
+    m_new = mapper.global_ba(m, intrinsics(cfg))
+    slam.m = m_new
+    n_kf = int(np.asarray(m_new.kf_valid).sum())
+    print(f"[INFO] global BA over {n_kf} keyframes / "
+          f"{int(np.asarray(m_new.pt_valid).sum())} points")
+    if len(traj) == 0:
+        return traj
+    return rebase_trajectory(
+        traj, traj_ids, np.asarray(m.kf_frame_id), kf_old,
+        np.asarray(m_new.kf_pose), np.asarray(m.kf_valid),
+    )
+
+
+def _run_stream(args, cfg, frames, gt_poses=None):
     """Device-FSM path: feed everything, pull results once, then report.
 
     The per-frame log lines print after the run (pulling scalars mid-run
@@ -235,6 +302,11 @@ def _run_stream(args, cfg, frames):
     dt_steady = time.perf_counter() - (t_first or t0)
 
     r = slam.result()
+    traj = np.asarray(r.trajectory)
+    if args.global_ba:
+        traj = _apply_global_ba(
+            slam, cfg, traj, np.arange(r.n_frames)
+        )
     if not args.quiet:
         for i in range(r.n_frames):
             p = r.trajectory[i]
@@ -251,6 +323,12 @@ def _run_stream(args, cfg, frames):
         "fps": round((n - 1) / dt_steady, 2) if n > 1 else None,
         "wall_s": round(dt, 2),
     }
+    if gt_poses is not None and r.n_frames and not args.resume:
+        k = min(r.n_frames, len(gt_poses))
+        summary["ate_rmse"] = _ate_vs_gt(
+            traj[:k], gt_poses[:k],
+            tracked=np.asarray(r.states)[:k] == 2,
+        )
     print(json.dumps(summary))
     if args.viz:
         from ..viz import render_stream_session
@@ -267,7 +345,7 @@ def _run_stream(args, cfg, frames):
         from ..io.dataset import save_tum_trajectory
 
         stamps = [i / cfg.video.fps for i in range(r.n_frames)]
-        save_tum_trajectory(args.output, stamps, r.trajectory)
+        save_tum_trajectory(args.output, stamps, traj)
         print(f"[INFO] trajectory written to {args.output}")
     return 0
 

@@ -61,3 +61,43 @@ def positions_from_poses(poses_wc: np.ndarray) -> np.ndarray:
 
     inv = se3.inverse(jnp.asarray(np.asarray(poses_wc, np.float32)))
     return np.asarray(se3.translation(inv))
+
+
+def rebase_trajectory(traj_wc: np.ndarray, frame_ids: np.ndarray,
+                      kf_frame_ids: np.ndarray, kf_old: np.ndarray,
+                      kf_new: np.ndarray, kf_valid: np.ndarray) -> np.ndarray:
+    """Propagate keyframe pose corrections (e.g. from global BA) to every
+    frame of a trajectory.
+
+    Each frame f keeps its tracked pose *relative to* the most recent
+    keyframe k at-or-before it — the quantity the front-end actually
+    estimated — and inherits k's correction:
+
+        T_f_new = (T_f_old ∘ T_k_old^{-1}) ∘ T_k_new
+
+    (world->cam convention throughout). Frames before the first keyframe
+    are left untouched.
+    """
+    import jax.numpy as jnp
+
+    from ..core import se3
+
+    traj = np.asarray(traj_wc, np.float32)
+    frame_ids = np.asarray(frame_ids, np.int64)
+    valid = np.asarray(kf_valid, bool)
+    kf_ids = np.asarray(kf_frame_ids, np.int64)[valid]
+    old = np.asarray(kf_old, np.float32)[valid]
+    new = np.asarray(kf_new, np.float32)[valid]
+    if kf_ids.size == 0:
+        return traj
+    order = np.argsort(kf_ids)
+    kf_ids, old, new = kf_ids[order], old[order], new[order]
+
+    # most recent keyframe at-or-before each frame; -1 = none yet
+    anchor = np.searchsorted(kf_ids, frame_ids, side="right") - 1
+    has = anchor >= 0
+    a = np.clip(anchor, 0, len(kf_ids) - 1)
+
+    delta = se3.compose(se3.inverse(jnp.asarray(old[a])), jnp.asarray(new[a]))
+    rebased = np.asarray(se3.compose(jnp.asarray(traj), delta))
+    return np.where(has[:, None], rebased, traj)

@@ -192,6 +192,69 @@ def local_ba(m: MapState, intr, center_kf: jnp.ndarray, window: int = 10,
     return m._replace(obs_mask=obs_mask)
 
 
+def extract_global_ba(m: MapState, intr) -> ba.BAProblem:
+    """Whole-map BA problem: every valid keyframe and every valid point.
+
+    The reference cannot do this — its BA is bounded to the center KF + 10
+    covisible neighbours (map.cc:848-851) because g2o solves on one CPU
+    thread. Here the problem stays fixed-capacity (the map capacities ARE
+    the problem shape), so the full map is one batched linearization; with a
+    device mesh the point blocks shard across chips (dist.ba_sharded).
+
+    Gauge: the two oldest valid keyframes are held fixed (position + scale
+    of the monocular gauge), like ``extract_local_ba``.
+    """
+    K, P, _ = m.capacities
+    kf_ok = m.kf_valid
+    pt_ok = m.pt_valid & (
+        jnp.sum(m.obs_mask & kf_ok[:, None], axis=0) >= 2
+    )
+    obs_mask = (m.obs_mask & kf_ok[:, None] & pt_ok[None, :]).T   # (P, K)
+    uv = jnp.stack([
+        (m.obs_px[..., 0] - intr.cx) / intr.fx,
+        (m.obs_px[..., 1] - intr.cy) / intr.fy,
+    ], -1).transpose(1, 0, 2)                                     # (P, K, 2)
+
+    age = jnp.where(kf_ok, m.kf_frame_id, jnp.iinfo(jnp.int32).max)
+    oldest = jnp.argsort(age)[:2]
+    fixed = jnp.zeros(K, bool).at[oldest].set(True) | ~kf_ok
+
+    return ba.BAProblem(poses=m.kf_pose, fixed=fixed, points=m.pt_pos,
+                        obs_uv=uv, obs_mask=obs_mask)
+
+
+def global_ba(m: MapState, intr, mesh=None, stage_iters=(8, 12),
+              axis: str = "point") -> MapState:
+    """Full-map bundle adjustment + write-back.
+
+    The offline/anytime refinement pass the reference lacks (its map drifts
+    with whatever local BA left behind). Single-device by default; pass a
+    ``jax.sharding.Mesh`` to shard the point blocks over ``axis`` and psum
+    the reduced camera system over ICI (dist.ba_sharded.solve_sharded) —
+    point capacity then scales linearly with devices. Note the reduced
+    camera solve is a dense (6K, 6K) Cholesky: fine up to a few hundred
+    keyframe slots; larger maps should switch to a CG backend.
+    """
+    problem = extract_global_ba(m, intr)
+    huber = jnp.sqrt(5.991) / jnp.minimum(intr.fx, intr.fy)
+    if mesh is None:
+        res = ba.solve(problem, huber=huber, stage_iters=tuple(stage_iters))
+    else:
+        from ..dist import ba_sharded
+        res = ba_sharded.solve_sharded(
+            problem, mesh, huber=float(huber),
+            stage_iters=tuple(stage_iters), axis=axis,
+        )
+
+    free = ~problem.fixed
+    m = m._replace(
+        kf_pose=jnp.where(free[:, None], res.poses, m.kf_pose),
+        pt_pos=jnp.where(m.pt_valid[:, None], res.points, m.pt_pos),
+    )
+    removed = problem.obs_mask & ~res.inlier_mask                 # (P, K)
+    return m._replace(obs_mask=m.obs_mask & ~removed.T)
+
+
 def prune_weak_points(m: MapState, min_obs: int = 2,
                       grace_keyframes: int = 2) -> MapState:
     """Drop points whose observation support collapsed (BA gating or KF
