@@ -189,7 +189,11 @@ def fit_plane_ransac(pts: jnp.ndarray, valid: jnp.ndarray, key,
 
     N = pts.shape[0]
     k1, _ = jax.random.split(key)
-    idx = jax.random.randint(k1, (iters, 3), 0, N)
+    # 3 distinct VALID points per hypothesis (invalid slots are all-zero
+    # placeholders — sampling them would let degenerate planes win)
+    idx = jax.vmap(
+        lambda kk: sample_without_replacement(kk, valid, 3)
+    )(jax.random.split(k1, iters))
 
     def hypothesis(tri):
         a, b, c = pts[tri[0]], pts[tri[1]], pts[tri[2]]
@@ -241,3 +245,19 @@ def rotation_between(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
     flip = 2.0 * jnp.outer(axis, axis) - jnp.eye(3)
     return jnp.where(safe | (c > 0), R, flip)
+
+
+def sample_without_replacement(key, valid: jnp.ndarray, k: int) -> jnp.ndarray:
+    """``k`` DISTINCT indices drawn uniformly from the True entries of
+    ``valid`` (Gumbel top-k: perturb a flat logit per valid entry with
+    Gumbel noise, take the k largest). The reference gets distinct samples
+    from ``random_shuffle`` (feature_align.cc:180); independent categorical
+    draws would allow duplicates and rank-deficient minimal sets.
+
+    When fewer than ``k`` entries are valid, invalid indices fill the tail
+    (callers' consensus checks reject those hypotheses anyway).
+    """
+    g = jax.random.gumbel(key, valid.shape, jnp.float32)
+    score = jnp.where(valid, g, -jnp.inf)
+    _, idx = jax.lax.top_k(score, k)  # top_k positions are always distinct
+    return idx

@@ -160,3 +160,111 @@ class PlaneScene:
     def sequence(self, n_frames: int, **kw):
         poses = self.trajectory(n_frames, **kw)
         return [(self.render(p), p) for p in poses]
+
+
+class MultiPlaneScene:
+    """A depth-varied world: textured z=const rectangles over a backdrop.
+
+    The non-planar counterpart of :class:`PlaneScene` (VERDICT r1: every
+    accuracy gate used the textured plane — the best case for both the
+    homography bootstrap and direct alignment). Several front-facing
+    rectangles float at different depths in front of a background plane, so
+    triangulation, depth-filter convergence at varied depth, and BA on real
+    3D structure all get exercised. The dominant background still lets the
+    homography bootstrap find a consistent inlier set (foreground points are
+    its outliers), like a real indoor scene would.
+
+    ``boxes`` is a list of (z, x0, x1, y0, y1) world-frame rectangles; each
+    gets its own texture. Depth per pixel is the nearest hit.
+    """
+
+    def __init__(self, fx=210.0, fy=210.0, cx=159.5, cy=119.5,
+                 width=320, height=240, backdrop_z=6.0, extent=9.0,
+                 boxes=None, seed=0):
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.width, self.height = width, height
+        self.backdrop_z = backdrop_z
+        self.extent = extent
+        if boxes is None:
+            boxes = [
+                (2.8, -2.2, -0.4, -1.6, 0.4),
+                (4.0, 0.3, 2.4, -0.8, 1.2),
+                (3.3, -0.9, 0.9, 0.8, 2.2),
+                (4.8, -2.6, -0.8, 1.0, 2.6),
+            ]
+        self.boxes = [tuple(float(v) for v in b) for b in boxes]
+        self.textures = [make_texture(512, seed=seed + 1 + i)
+                         for i in range(len(self.boxes))]
+        self.backdrop = make_texture(1024, seed=seed)
+
+    def render(self, pose_wc: np.ndarray) -> np.ndarray:
+        import cv2
+
+        R = _np_quat_to_matrix(np.asarray(pose_wc[:4], np.float64))
+        t = np.asarray(pose_wc[4:], np.float64)
+        Rcw, tcw = R.T, -R.T @ t
+
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        rays = np.stack([(u - self.cx) / self.fx, (v - self.cy) / self.fy,
+                         np.ones_like(u, np.float64)], axis=-1)
+        rays_w = rays @ Rcw.T
+
+        denom = rays_w[..., 2]
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+
+        best_s = (self.backdrop_z - tcw[2]) / denom
+        best_s = np.where(best_s > 0, best_s, np.inf)
+        img = self._sample_plane(self.backdrop, tcw, rays_w, best_s,
+                                 self.extent, cv2)
+
+        for (z, x0, x1, y0, y1), tex in zip(self.boxes, self.textures):
+            s = (z - tcw[2]) / denom
+            pw = tcw[None, None, :] + s[..., None] * rays_w
+            hit = ((s > 0) & (s < best_s)
+                   & (pw[..., 0] >= x0) & (pw[..., 0] <= x1)
+                   & (pw[..., 1] >= y0) & (pw[..., 1] <= y1))
+            size = tex.shape[0]
+            mapx = (pw[..., 0] - x0) / max(x1 - x0, 1e-9) * (size - 1)
+            mapy = (pw[..., 1] - y0) / max(y1 - y0, 1e-9) * (size - 1)
+            box_img = cv2.remap(tex, mapx.astype(np.float32),
+                                mapy.astype(np.float32), cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_REFLECT)
+            img = np.where(hit, box_img, img)
+            best_s = np.where(hit, s, best_s)
+        return img.astype(np.float32)
+
+    def _sample_plane(self, tex, tcw, rays_w, s, extent, cv2):
+        pw = tcw[None, None, :] + s[..., None] * rays_w
+        size = tex.shape[0]
+        mapx = (pw[..., 0] + extent) / (2 * extent) * (size - 1)
+        mapy = (pw[..., 1] + extent) / (2 * extent) * (size - 1)
+        out = cv2.remap(tex, mapx.astype(np.float32),
+                        mapy.astype(np.float32), cv2.INTER_LINEAR,
+                        borderMode=cv2.BORDER_REFLECT)
+        return np.where(np.isfinite(s), out, 0.0)
+
+    def depth(self, pose_wc: np.ndarray) -> np.ndarray:
+        """Ground-truth z-depth map (camera frame) — for depth-filter tests."""
+        R = _np_quat_to_matrix(np.asarray(pose_wc[:4], np.float64))
+        t = np.asarray(pose_wc[4:], np.float64)
+        Rcw, tcw = R.T, -R.T @ t
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        rays = np.stack([(u - self.cx) / self.fx, (v - self.cy) / self.fy,
+                         np.ones_like(u, np.float64)], axis=-1)
+        rays_w = rays @ Rcw.T
+        denom = np.where(np.abs(rays_w[..., 2]) < 1e-9, 1e-9, rays_w[..., 2])
+        best_s = (self.backdrop_z - tcw[2]) / denom
+        best_s = np.where(best_s > 0, best_s, np.inf)
+        for (z, x0, x1, y0, y1) in self.boxes:
+            s = (z - tcw[2]) / denom
+            pw = tcw[None, None, :] + s[..., None] * rays_w
+            hit = ((s > 0) & (s < best_s)
+                   & (pw[..., 0] >= x0) & (pw[..., 0] <= x1)
+                   & (pw[..., 1] >= y0) & (pw[..., 1] <= y1))
+            best_s = np.where(hit, s, best_s)
+        # s is distance along the ray whose z-component is rays_cam z=1
+        # rotated; camera-frame depth = s * (ray_cam z) = s (unit-z rays)
+        return best_s.astype(np.float32)
+
+    def trajectory(self, n_frames: int, **kw):
+        return PlaneScene.trajectory(self, n_frames, **kw)

@@ -72,6 +72,8 @@ class SdvlConfig:
     max_frame_feats: int = 512    # tracked features per frame
     ransac_hypotheses: int = 64   # vmapped pose-RANSAC lanes
     epipolar_samples: int = 32    # samples along the epipolar segment
+    max_reobs: int = 512          # reobservation attempts per new keyframe
+                                  #   (AddConnectionsPoints, map.cc:560-617)
 
 
 @dataclasses.dataclass(frozen=True)

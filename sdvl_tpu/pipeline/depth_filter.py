@@ -170,13 +170,15 @@ def promote_converged(m: MapState, threshold_converged: float = 0.1,
 
 
 def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
-                    scene_depth_median: jnp.ndarray, cell: int) -> MapState:
+                    scene_depth_median: jnp.ndarray, cell: int):
     """Seed new candidates at detected corners of a new keyframe.
 
     Mirrors Map::InitCandidates (map.cc:262-400): corners in cells not
     already holding a tracked observation become inverse-depth seeds at
     rho = 1/median scene depth with a wide prior (sigma covering
-    (0, 2/median]).
+    (0, 2/median]). Returns ``(m, new_mask (C,))`` — pass ``new_mask`` to
+    :func:`triangulate_new_seeds` to re-center the fresh seeds at a
+    triangulated depth like the reference does.
     """
     from ..ops import orb
 
@@ -202,7 +204,9 @@ def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
     bearing = cam.unproject(intr, corner_xy)
 
     n = corner_xy.shape[0]
-    return m._replace(
+    C = m.cand_valid.shape[0]
+    new_mask = jnp.zeros(C, bool).at[slots].set(True, mode="drop")
+    m = m._replace(
         cand_valid=m.cand_valid.at[slots].set(True, mode="drop"),
         cand_kf=m.cand_kf.at[slots].set(
             jnp.full((n,), kf_slot, jnp.int32), mode="drop"
@@ -220,4 +224,68 @@ def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
         cand_b=m.cand_b.at[slots].set(jnp.full((n,), 10.0), mode="drop"),
         cand_fail=m.cand_fail.at[slots].set(0, mode="drop"),
         cand_desc=m.cand_desc.at[slots].set(desc, mode="drop"),
+    )
+    return m, new_mask
+
+
+def triangulate_new_seeds(m: MapState, intr, anchor_slot,
+                          scene_depth_median: jnp.ndarray,
+                          new_mask: jnp.ndarray, n_samples: int = 32,
+                          n_best: int = 5, scale_min_dist: float = 0.25,
+                          map_scale: float = 1.0,
+                          use_orb: bool = False) -> MapState:
+    """Re-center fresh seeds at a triangulated depth.
+
+    Mirrors the triangulation half of Map::InitCandidates (reference
+    map.cc:262-400): each new corner is epipolar-matched against the best
+    covisible keyframe with sufficient baseline (distance/depth >= 0.01,
+    map.cc:300-304) and, on success, the filter re-initializes at
+    rho = 1/GetDepthFromTriangulation (Point::InitCandidate,
+    point.cc:48-61) — instead of starting at the median-depth prior, which
+    on depth-varied scenes costs many extra filter updates and seeds
+    outliers. Gates mirror the reference: near-zero parallax rejected
+    (map.cc:357-360), too-close points dropped entirely (map.cc:362-364,
+    ``scale_min_dist``). Unmatched seeds keep the median prior (SVO-style
+    fallback).
+    """
+    from ..core import geometry
+    from ..state.map_state import best_connections
+
+    n_best = min(n_best, m.kf_valid.shape[0])
+    conn_idx, conn_counts = best_connections(m, anchor_slot, n_best)
+    anchor_pos = se3.translation(se3.inverse(m.kf_pose[anchor_slot]))
+    kf_pos = se3.translation(se3.inverse(m.kf_pose[conn_idx]))
+    dist = jnp.linalg.norm(kf_pos - anchor_pos, axis=-1)
+    depth_med = jnp.maximum(scene_depth_median, 1e-6)
+    ok_kf = ((conn_counts > 0) & m.kf_valid[conn_idx]
+             & (dist / depth_med >= 0.01))
+    any_ok = jnp.any(ok_kf)
+    ref = conn_idx[jnp.argmax(ok_kf)]
+
+    ref_pyr = tuple(p[ref] for p in m.kf_pyr)
+    ref_pose = m.kf_pose[ref]
+    m_search = m._replace(cand_valid=new_mask & m.cand_valid)
+    res = epipolar_search(m_search, intr, ref_pyr, ref_pose,
+                          n_samples=n_samples, use_orb=use_orb)
+
+    z = jnp.maximum(res.depth_anchor, 1e-6)
+    p_anchor = m.cand_bearing * z[:, None]
+    p_world = se3.transform(se3.inverse(m.kf_pose[m.cand_kf]), p_anchor)
+    ref_pos = se3.translation(se3.inverse(ref_pose))
+    cosa = geometry.parallax_cosine(p_world, anchor_pos, ref_pos)
+
+    matched = new_mask & m.cand_valid & res.ok & any_ok
+    min_depth = scale_min_dist * jnp.maximum(
+        jnp.asarray(map_scale, jnp.float32), depth_med
+    )
+    deep_enough = z > min_depth
+    good = matched & deep_enough & (cosa < 0.999999)
+    too_close = matched & ~deep_enough
+
+    rho_t = 1.0 / z
+    sigma_t = rho_t / 3.0
+    return m._replace(
+        cand_rho=jnp.where(good, rho_t, m.cand_rho),
+        cand_sigma2=jnp.where(good, sigma_t * sigma_t, m.cand_sigma2),
+        cand_valid=m.cand_valid & ~too_close,
     )

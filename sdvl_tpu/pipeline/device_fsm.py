@@ -226,7 +226,7 @@ def make_step(cfg: Config, undistort: bool):
                            .at[1, slots].set(boot.px2, mode="drop"),
         )
         depth_med = jnp.asarray(s.map_scale, jnp.float32)
-        m = depth_filter.seed_candidates(
+        m, _ = depth_filter.seed_candidates(
             m, intr, pyr, (corners.xy, corners.level, corners.valid),
             jnp.asarray(1, jnp.int32), depth_med, s.cell_size,
         )
@@ -363,7 +363,12 @@ def make_step(cfg: Config, undistort: bool):
                 m, slot = mapper.add_keyframe(
                     m, intr, pyr, tr.pose, carry.frame_id,
                     tr.match_pt_idx, tr.match_px, tr.match_ok,
+                    tr.match_level,
                     corners.xy, corners.level, corners.valid, s.cell_size,
+                    n_search_kf=s.max_search_keyframes,
+                    max_reobs=s.max_reobs,
+                    scale_min_dist=s.scale_min_dist, map_scale=s.map_scale,
+                    use_orb=s.use_orb, epipolar_samples=s.epipolar_samples,
                 )
                 m = mapper.local_ba(
                     m, intr, slot,

@@ -30,19 +30,27 @@ from . import depth_filter
 def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
                  frame_id: jnp.ndarray, match_pt_idx: jnp.ndarray,
                  match_px: jnp.ndarray, match_ok: jnp.ndarray,
+                 match_level: jnp.ndarray,
                  corners_xy: jnp.ndarray, corners_level: jnp.ndarray,
-                 corners_valid: jnp.ndarray, cell: int):
+                 corners_valid: jnp.ndarray, cell: int,
+                 n_search_kf: int = 5, max_reobs: int = 512,
+                 scale_min_dist: float = 0.25, map_scale: float = 1.0,
+                 use_orb: bool = False, epipolar_samples: int = 32):
     """Insert the current frame as a keyframe.
 
-    Combines reference AddKeyframe + CheckConnections + InitCandidates
-    (map.cc:145-158, 262-400, 500-558): stores the pyramid and pose, writes
-    the frame's matches as observations into the dense (K, P) structure
-    (covisibility then needs no separate bookkeeping), and seeds new
-    depth-filter candidates in unoccupied grid cells. If the keyframe store
-    is full the furthest keyframe is evicted (map.cc:190-205) — its
+    Combines reference AddKeyframe + CheckConnections + AddConnectionsPoints
+    + InitCandidates (map.cc:145-158, 262-400, 500-617): stores the pyramid
+    and pose, writes the frame's matches as observations into the dense
+    (K, P) structure (covisibility then needs no separate bookkeeping),
+    re-links existing points seen by covisible keyframes
+    (matcher.reobserve_points), seeds new depth-filter candidates in
+    unoccupied grid cells, and re-centers the fresh seeds at triangulated
+    depths (depth_filter.triangulate_new_seeds). If the keyframe store is
+    full the furthest keyframe is evicted (map.cc:190-205) — its
     observation row, anchored candidates, and anchored points' anchors die
     with it.
     """
+    from . import matcher as matcher_mod
     K, P, C = m.capacities
 
     cur_pos = se3.translation(se3.inverse(pose))
@@ -79,7 +87,12 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
     m = m._replace(
         obs_mask=m.obs_mask.at[slot, idx].set(True, mode="drop"),
         obs_px=m.obs_px.at[slot, idx].set(match_px, mode="drop"),
-        obs_level=m.obs_level.at[slot, idx].set(0, mode="drop"),
+        # the level the match was actually made at (the reference stores the
+        # search level in the Feature, matcher.cc:100-121) — anchor-patch
+        # warping reads it back when this keyframe becomes an anchor
+        obs_level=m.obs_level.at[slot, idx].set(
+            match_level.astype(jnp.int32), mode="drop"
+        ),
     )
 
     # median scene depth of matched points (frame.cc:70-91 GetSceneDepth)
@@ -89,9 +102,22 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
     )
     depth_med = jnp.where(depth_med > 1e-6, depth_med, 1.0)
 
-    m = depth_filter.seed_candidates(
+    # re-link existing points from covisible keyframes BEFORE seeding, so
+    # their cells count as occupied (reference order: AddConnectionsPoints
+    # then InitCandidates, map.cc:116-118); max_reobs=0 disables (baseline)
+    if max_reobs > 0:
+        m = matcher_mod.reobserve_points(
+            m, intr, pyr, pose, slot, n_best=n_search_kf,
+            max_reobs=max_reobs,
+        )
+    m, new_seeds = depth_filter.seed_candidates(
         m, intr, pyr, (corners_xy, corners_level, corners_valid), slot,
         depth_med, cell,
+    )
+    m = depth_filter.triangulate_new_seeds(
+        m, intr, slot, depth_med, new_seeds, n_samples=epipolar_samples,
+        n_best=n_search_kf, scale_min_dist=scale_min_dist,
+        map_scale=map_scale, use_orb=use_orb,
     )
     return m, slot
 

@@ -25,7 +25,7 @@ from ..core import camera as cam
 from ..core import geometry, se3
 from ..ops import interp, patch as patch_ops
 from ..solvers import lk
-from ..state.map_state import MapState
+from ..state.map_state import MapState, best_connections
 
 
 def grid_select(cell_id: jnp.ndarray, score: jnp.ndarray, valid: jnp.ndarray,
@@ -58,6 +58,8 @@ class MatchResult(NamedTuple):
     ok: jnp.ndarray        # (S,) bool match succeeded
     attempted: jnp.ndarray # (S,) bool a match was attempted
     uv: jnp.ndarray        # (S, 2) unit-plane measurement (from px)
+    level: jnp.ndarray     # (S,) int32 pyramid level the match was made at
+                           #   (reference GetSearchLevel, matcher.cc:314-323)
 
 
 def _anchor_data(m: MapState, pt_idx: jnp.ndarray):
@@ -115,7 +117,8 @@ def _warped_ref_patches(m: MapState, intr, pt_idx, pose_cur, half: int):
 def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                      cell: int, half: int = 4, lk_iters: int = 10,
                      reproj_px: float = 6.0, use_orb: bool = False,
-                     orb_max_dist: int = 100) -> MatchResult:
+                     orb_max_dist: int = 100,
+                     err_max: float = 22.0) -> MatchResult:
     """Reproject valid map points, pick one per grid cell, LK-align each.
 
     Equivalent to FeatureAlign::Reproject+SelectPoints+SearchPoint for
@@ -153,7 +156,13 @@ def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     )
     drift = jnp.linalg.norm(res.xy - px_pred, axis=-1)
     scale = jnp.exp2(search_level.astype(jnp.float32))
-    ok = attempted & res.converged & (drift < reproj_px * scale)
+    # photometric acceptance: mean-abs residual per pixel, the LK-final
+    # equivalent of the reference's ZMSSD cap (MAX_SSD_PER_PIXEL = 500,
+    # matcher.h:36 — sqrt(500) ~ 22 gray levels RMS). Without it a
+    # textureless/occluded frame "converges" trivially (zero gradient,
+    # zero drift) and fake matches keep quality GOOD.
+    ok = (attempted & res.converged & (drift < reproj_px * scale)
+          & (res.error < err_max))
     if use_orb:
         from ..ops import orb
 
@@ -165,7 +174,69 @@ def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
         (res.xy[:, 1] - intr.cy) / intr.fy,
     ], -1)
     return MatchResult(pt_idx=sel_idx, px=res.xy, ok=ok,
-                       attempted=attempted, uv=uv)
+                       attempted=attempted, uv=uv,
+                       level=search_level.astype(jnp.int32))
+
+
+def reobserve_points(m: MapState, intr, pyr, pose: jnp.ndarray,
+                     kf_slot: jnp.ndarray, n_best: int = 5,
+                     max_reobs: int = 512, half: int = 4,
+                     lk_iters: int = 8, reproj_px: float = 3.0,
+                     err_max: float = 22.0) -> MapState:
+    """Re-link existing map points into a NEW keyframe.
+
+    Mirrors Map::AddConnectionsPoints (reference map.cc:560-617): every
+    valid point seen by the ``n_best`` most-covisible keyframes but NOT yet
+    observed in the new keyframe is projected into it and patch-verified
+    (warped anchor patch + LK, the reference's Matcher::SearchPoint); the
+    successes become observations. Without this, covisibility stays thin —
+    each point would carry only the observations of the frames where it was
+    *tracked*, local BA windows lose constraints, and weak-point pruning
+    kills points the reference would have re-linked.
+
+    Fixed shape: the ``max_reobs`` best candidates (by found-fail quality)
+    are attempted in one batched LK solve.
+    """
+    K, P, _ = m.capacities
+    max_reobs = min(max_reobs, P)
+
+    conn_idx, conn_counts = best_connections(m, kf_slot, min(n_best, K))
+    seen_by_conn = jnp.any(
+        m.obs_mask[conn_idx] & (conn_counts > 0)[:, None], axis=0
+    )  # (P,)
+    cand = m.pt_valid & seen_by_conn & ~m.obs_mask[kf_slot]
+
+    p_cam = se3.transform(pose[None], m.pt_pos)
+    px = cam.project(intr, p_cam)
+    visible = cand & (p_cam[:, 2] > 1e-3) & cam.in_bounds(
+        intr, px, margin=half + 2
+    )
+    quality = jnp.where(
+        visible, (m.pt_found - m.pt_fail).astype(jnp.float32), -jnp.inf
+    )
+    _, sel = jax.lax.top_k(quality, max_reobs)
+    sel_ok = visible[sel]
+
+    patches, search_level, px_pred = _warped_ref_patches(
+        m, intr, sel, pose, half
+    )
+    res = lk.align_patches_pyramid(
+        pyr, search_level, patches, px_pred, sel_ok, iters=lk_iters
+    )
+    drift = jnp.linalg.norm(res.xy - px_pred, axis=-1)
+    scale = jnp.exp2(search_level.astype(jnp.float32))
+    ok = (sel_ok & res.converged & (drift < reproj_px * scale)
+          & (res.error < err_max))
+
+    idx = jnp.where(ok, sel, P)
+    return m._replace(
+        obs_mask=m.obs_mask.at[kf_slot, idx].set(True, mode="drop"),
+        obs_px=m.obs_px.at[kf_slot, idx].set(res.xy, mode="drop"),
+        obs_level=m.obs_level.at[kf_slot, idx].set(
+            search_level.astype(jnp.int32), mode="drop"
+        ),
+        pt_found=m.pt_found.at[idx].add(1, mode="drop"),
+    )
 
 
 class EpipolarResult(NamedTuple):

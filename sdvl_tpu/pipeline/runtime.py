@@ -132,6 +132,7 @@ class AsyncMapper:
                     m, slot = slam._add_keyframe(
                         m, pyr, pose, frame_id,
                         tr.match_pt_idx, tr.match_px, tr.match_ok,
+                        tr.match_level,
                         corners.xy, corners.level, corners.valid,
                     )
                     m = slam._local_ba(m, slot)

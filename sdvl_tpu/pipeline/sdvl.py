@@ -166,7 +166,7 @@ class SDVL:
             # seed depth-filter candidates from the 2nd frame's corners
             from . import depth_filter
             depth_med = jnp.asarray(s.map_scale, jnp.float32)
-            m = depth_filter.seed_candidates(
+            m, _ = depth_filter.seed_candidates(
                 m, intr, pyr2, (corners2_xy, corners2_level, corners2_valid),
                 jnp.asarray(1, jnp.int32), depth_med, s.cell_size,
             )
@@ -207,10 +207,15 @@ class SDVL:
 
         @jax.jit
         def _add_keyframe(m, pyr, pose, frame_id, match_idx, match_px,
-                          match_ok, corners_xy, corners_level, corners_valid):
+                          match_ok, match_level, corners_xy, corners_level,
+                          corners_valid):
             return mapper.add_keyframe(
                 m, intr, pyr, pose, frame_id, match_idx, match_px, match_ok,
-                corners_xy, corners_level, corners_valid, s.cell_size,
+                match_level, corners_xy, corners_level, corners_valid,
+                s.cell_size,
+                n_search_kf=s.max_search_keyframes, max_reobs=s.max_reobs,
+                scale_min_dist=s.scale_min_dist, map_scale=s.map_scale,
+                use_orb=s.use_orb, epipolar_samples=s.epipolar_samples,
             )
 
         @functools.partial(jax.jit, static_argnames=("window", "max_points"))
@@ -246,6 +251,17 @@ class SDVL:
         def _relocalize(m, cur_pyr, pose_guess):
             return relocalize.relocalize(m, intr, cur_pyr, pose_guess)
 
+        @functools.partial(jax.jit, static_argnames=("n_ref",))
+        def _reloc_ref(m, kf, n_ref):
+            """Tracking reference for a relocalized frame: the winning
+            KEYFRAME's pyramid, pose and observed points — never the stale
+            (lost) previous frame (mirrors device_fsm.do_reloc; reference
+            sdvl.cc:217-231 aligns kf -> current)."""
+            ref_pyr = tuple(p[kf] for p in m.kf_pyr)
+            obs = m.obs_mask[kf] & m.pt_valid
+            order = jnp.argsort(~obs)[:n_ref].astype(jnp.int32)
+            return ref_pyr, order, obs[order], m.kf_pose[kf]
+
         @jax.jit
         def _prune(m):
             m = mapper.prune_weak_points(m)
@@ -262,6 +278,7 @@ class SDVL:
         self._motion_update = _motion_update
         self._predict = _predict
         self._relocalize = _relocalize
+        self._reloc_ref = _reloc_ref
         self._prune = _prune
         self._match_initial = _match_initial
         self._transform_initial = _transform_initial
@@ -303,8 +320,13 @@ class SDVL:
 
         elif self.state == TrackingState.SECOND_FRAME:
             pyr1, corners1 = self._first_fs
+            # fixed fold_in constants, NOT a split chain: the device FSM
+            # derives its bootstrap/plane keys as fold_in(key, 0/1)
+            # (device_fsm.py second_frame/seed_map) and driver equivalence
+            # requires identical RANSAC draws
             boot = self._bootstrap(
-                pyr1, pyr, corners1.xy, corners1.valid, self._next_key()
+                pyr1, pyr, corners1.xy, corners1.valid,
+                jax.random.fold_in(self.key0, 0),
             )
             med_shift = float(boot.median_shift)
             n_inl = int(boot.n_inliers)
@@ -324,7 +346,7 @@ class SDVL:
                 if s.align_ground_plane:
                     # z=0-align the initial map (Map::TransformInitialMap)
                     self.m, T = self._transform_initial(
-                        self.m, self._next_key()
+                        self.m, jax.random.fold_in(self.key0, 1)
                     )
                     self.last_pose = self._apply_world_tf(self.last_pose, T)
                     self.trajectory = [
@@ -343,17 +365,25 @@ class SDVL:
             # else: wait for more parallax (stay in SECOND_FRAME)
 
         elif self.state in (TrackingState.RUNNING, TrackingState.LOST):
-            if self.state == TrackingState.LOST:
+            was_lost = self.state == TrackingState.LOST
+            if was_lost:
                 with self.tracer.span("relocalize"):
                     rl = self._relocalize(self.m, pyr, self.last_pose)
                     pose_pred = rl.pose
+                    ref_pyr, ref_idx, ref_ok, pose_ref = self._reloc_ref(
+                        self.m, rl.kf, self.last_match_idx.shape[0]
+                    )
             else:
                 pose_pred = self._predict(self.xi_model, self.last_pose)
+                ref_pyr, ref_idx, ref_ok, pose_ref = (
+                    self.last_pyr, self.last_match_idx,
+                    self.last_match_ok, self.last_pose,
+                )
 
             with self.tracer.span("track"):
                 m_tracked, tr = self._track(
-                    self.m, self.last_pyr, self.last_match_idx,
-                    self.last_match_ok, self.last_pose, pyr, pose_pred,
+                    self.m, ref_pyr, ref_idx, ref_ok, pose_ref, pyr,
+                    pose_pred,
                     jax.random.fold_in(self.key0, self.frame_id),
                 )
                 if self._async_mapper is None:
@@ -388,9 +418,15 @@ class SDVL:
                 self.last_pose = pose_pred
             else:
                 self.lost_frames = 0
-                self.xi_model, _ = self._motion_update(
-                    self.xi_model, tr.pose, self.last_pose
-                )
+                if was_lost:
+                    # recovering: previous pose was a relocalization guess,
+                    # the velocity estimate is meaningless — coast from rest
+                    # (device_fsm good_path does the same)
+                    self.xi_model = jnp.zeros(6, jnp.float32)
+                else:
+                    self.xi_model, _ = self._motion_update(
+                        self.xi_model, tr.pose, self.last_pose
+                    )
                 self.last_pose = tr.pose
                 self.state = TrackingState.RUNNING
 
@@ -424,6 +460,7 @@ class SDVL:
                                 self.m, pyr, tr.pose,
                                 jnp.asarray(self.frame_id, jnp.int32),
                                 tr.match_pt_idx, tr.match_px, tr.match_ok,
+                                tr.match_level,
                                 corners.xy, corners.level, corners.valid,
                             )
                             with self.tracer.span("ba"):

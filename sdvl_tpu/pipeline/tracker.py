@@ -27,6 +27,7 @@ class TrackResult(NamedTuple):
     match_px: jnp.ndarray    # (S, 2)
     match_ok: jnp.ndarray    # (S,) final inlier matches
     match_attempted: jnp.ndarray  # (S,) a match was attempted
+    match_level: jnp.ndarray # (S,) int32 pyramid level of each match
     n_matches: jnp.ndarray   # () int32
     n_attempts: jnp.ndarray  # () int32
     align_error: jnp.ndarray # () direct-alignment residual
@@ -91,6 +92,7 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
         match_px=mr.px,
         match_ok=ok,
         match_attempted=mr.attempted,
+        match_level=mr.level,
         n_matches=jnp.sum(ok).astype(jnp.int32),
         n_attempts=jnp.sum(mr.attempted).astype(jnp.int32),
         align_error=ia.error,

@@ -62,10 +62,10 @@ def ransac_homography(uv_a: jnp.ndarray, uv_b: jnp.ndarray,
     vmapped batch. Returns (H, inlier_mask).
     """
     keys = jax.random.split(key, n_hyp)
-    logits = jnp.where(valid, 0.0, -1e9)
 
     def one(k):
-        idx = jax.random.categorical(k, logits[None].repeat(4, 0))
+        # 4 distinct valid correspondences per hypothesis (Gumbel top-k)
+        idx = geometry.sample_without_replacement(k, valid, 4)
         w = jnp.zeros_like(valid, jnp.float32).at[idx].set(1.0)
         H = dlt_homography(uv_a, uv_b, w)
         err = transfer_error(H, uv_a, uv_b)

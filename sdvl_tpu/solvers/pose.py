@@ -97,9 +97,8 @@ def ransac(pose_init: jnp.ndarray, pts_w: jnp.ndarray, uv_obs: jnp.ndarray,
     p_valid = valid.astype(jnp.float32)
 
     def one_hypothesis(k):
-        # Sample without replacement, biased to valid entries via gumbel trick
-        logits = jnp.where(valid, 0.0, -1e9)
-        idx = jax.random.categorical(k, logits[None].repeat(sample_size, 0))
+        # distinct valid indices per minimal set (Gumbel top-k)
+        idx = geometry.sample_without_replacement(k, valid, sample_size)
         pw = pts_w[idx]
         uv = uv_obs[idx]
 

@@ -75,3 +75,33 @@ def test_map_grows_and_stays_bounded(run_sequence):
     assert 2 <= n_kfs <= 10
     # keyframes were actually inserted beyond the bootstrap pair
     assert int(slam.m.n_keyframes) >= 2
+
+
+def test_host_fsm_lost_and_relocalize():
+    """Host-driver twin of the stream lost/relocalize test (VERDICT r1: the
+    host FSM used to align against the stale lost frame; it must re-reference
+    the winning keyframe like the device FSM / reference sdvl.cc:217-231)."""
+    scene = PlaneScene(fx=210.0, fy=210.0, cx=159.5, cy=119.5,
+                       width=320, height=240, plane_z=4.0)
+    cfg = Config(
+        camera=CameraConfig(width=320, height=240, fx=210.0, fy=210.0,
+                            u0=159.5, v0=119.5, dist=(0, 0, 0, 0, 0)),
+        sdvl=SdvlConfig(cell_size=32, min_avg_shift=5.0, max_keyframes=10,
+                        min_keyframe_its=5, min_init_corners=30,
+                        max_points=512, max_candidates=256, min_matches=15,
+                        map_scale=4.0),
+    )
+    poses = scene.trajectory(30)
+    slam = SDVL(cfg, seed=0)
+    for p in poses[:18]:
+        slam.handle_frame(scene.render(p))
+    blank = np.zeros((240, 320), np.float32)
+    went_lost = False
+    for _ in range(5):
+        slam.handle_frame(blank)
+        went_lost |= slam.state == TrackingState.LOST
+    assert went_lost, "never went LOST"
+    infos = [slam.handle_frame(scene.render(p)) for p in poses[18:]]
+    assert slam.state == TrackingState.RUNNING
+    assert all(i["n_matches"] >= cfg.sdvl.min_matches for i in infos[-6:]), \
+        [i["n_matches"] for i in infos]

@@ -123,10 +123,12 @@ def test_seed_and_promote_candidates():
         jnp.zeros(2, jnp.int32),
         jnp.ones(2, bool),
     )
-    m = depth_filter.seed_candidates(
+    m, new_mask = depth_filter.seed_candidates(
         m, intr, pyr, corners, jnp.asarray(0), jnp.asarray(4.0), cell=32
     )
     assert int(m.cand_valid.sum()) == 2
+    assert int(new_mask.sum()) == 2
+    assert bool(jnp.all(new_mask == m.cand_valid))
     np.testing.assert_allclose(float(m.cand_rho[0]), 0.25, rtol=1e-5)
 
     # force convergence and promote
@@ -142,3 +144,52 @@ def test_seed_and_promote_candidates():
     # promoted world point sits at depth 4 along the bearing
     p = np.asarray(m2.pt_pos[np.asarray(m2.pt_valid)])
     assert np.all(np.abs(p[:, 2] - 4.0) < 0.2)
+
+
+def test_sample_without_replacement_distinct():
+    """RANSAC minimal sets must have distinct, valid indices (VERDICT r1:
+    categorical draws allowed duplicates -> rank-deficient hypotheses)."""
+    from sdvl_tpu.core import geometry
+
+    valid = jnp.asarray([True] * 6 + [False] * 10)
+    seen = set()
+    sample = jax.jit(geometry.sample_without_replacement,
+                     static_argnums=(2,))
+    for i in range(40):
+        idx = np.asarray(sample(jax.random.PRNGKey(i), valid, 5))
+        assert len(set(idx.tolist())) == 5, idx
+        assert all(bool(valid[j]) for j in idx), idx
+        seen.update(idx.tolist())
+    assert seen == set(range(6))  # every valid index gets sampled
+
+
+def test_add_keyframe_preserves_match_level():
+    """The level a match was made at must land in obs_level (VERDICT r1:
+    it was hardcoded 0, so anchor warping treated every keyframe-matched
+    anchor as level-0)."""
+    from sdvl_tpu.pipeline import mapper
+
+    m = empty_map(n_kf=4, n_pts=16, n_cand=8, img_shape=(128, 160), levels=3)
+    # two live points to observe
+    m = m._replace(
+        pt_valid=m.pt_valid.at[3].set(True).at[7].set(True),
+        pt_pos=m.pt_pos.at[3].set(jnp.asarray([0.0, 0.0, 4.0]))
+                       .at[7].set(jnp.asarray([0.5, 0.2, 5.0])),
+    )
+    pyr = tuple(jnp.zeros((128 >> l, 160 >> l)) for l in range(3))
+    match_idx = jnp.asarray([3, 7, 0], jnp.int32)
+    match_px = jnp.asarray([[40.0, 40.0], [100.0, 80.0], [0.0, 0.0]])
+    match_ok = jnp.asarray([True, True, False])
+    match_level = jnp.asarray([2, 1, 0], jnp.int32)
+    corners = (jnp.zeros((2, 2)), jnp.zeros(2, jnp.int32),
+               jnp.zeros(2, bool))
+    m2, slot = mapper.add_keyframe(
+        m, INTR, pyr, se3.identity(), jnp.asarray(5, jnp.int32),
+        match_idx, match_px, match_ok, match_level,
+        corners[0], corners[1], corners[2], cell=32,
+    )
+    slot = int(slot)
+    assert bool(m2.obs_mask[slot, 3]) and bool(m2.obs_mask[slot, 7])
+    assert int(m2.obs_level[slot, 3]) == 2
+    assert int(m2.obs_level[slot, 7]) == 1
+    assert not bool(m2.obs_mask[slot, 0])
