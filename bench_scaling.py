@@ -26,7 +26,7 @@ import numpy as np  # noqa: E402
 
 
 def run(n_devices: int, streams_per_device: int = 1,
-        n_warm: int = 12, n_timed: int = 48, size=(320, 240)):
+        n_warm: int = 12, n_timed: int = 48, size=(320, 240), mesh=None):
     import jax  # noqa: E402
 
     from sdvl_tpu.dist.mesh import make_mesh
@@ -48,7 +48,8 @@ def run(n_devices: int, streams_per_device: int = 1,
                         map_scale=4.0),
     )
     B = n_devices * streams_per_device
-    mesh = make_mesh(n_devices, axis="stream")
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis="stream")
     ms = MultiStream(cfg, mesh, n_streams=B, seed=0)
     seqs = [
         [np.clip(scene.render(p), 0, 255).astype(np.uint8)
@@ -65,6 +66,97 @@ def run(n_devices: int, streams_per_device: int = 1,
     ms.block()
     dt = time.perf_counter() - t0
     return B * n_timed / dt
+
+
+def _multihost_worker(args):
+    """One process of the --multihost run (SPMD: all processes execute the
+    same feeds; gloo joins the virtual CPU devices into one global mesh)."""
+    from sdvl_tpu.dist import multihost
+
+    multihost.initialize(f"localhost:{args.mh_port}", args.mh_nproc,
+                         args.mh_worker_id, local_device_count=args.mh_devs,
+                         platform="cpu")
+    import jax
+
+    mesh = multihost.global_mesh(axis="stream")
+    n_global = len(jax.devices())
+    fps = run(n_global, n_warm=6, n_timed=24, size=(160, 120), mesh=mesh)
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "metric": "multistream_fps_multihost",
+            "processes": args.mh_nproc,
+            "devices": n_global,
+            "streams": n_global,
+            "value": round(fps, 2),
+            "per_stream": round(fps / n_global, 2),
+        }), flush=True)
+
+
+def _multihost_parent(n_proc: int, devs_per_proc: int):
+    """Spawn the workers, relay process 0's JSON, then measure the same
+    total device count in ONE process for the scaling-efficiency ratio."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU plugin in workers
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--mh-worker-id", str(i), "--mh-nproc", str(n_proc),
+             "--mh-port", str(port), "--mh-devs", str(devs_per_proc)],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+        for i in range(n_proc)
+    ]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p in procs:
+        assert p.returncode == 0, "multihost worker failed"
+    multi_line = next(l for o in outs for l in o.splitlines()
+                      if "multistream_fps_multihost" in l)
+    print(multi_line, flush=True)
+
+    # single-process reference at the same global device count
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_proc * devs_per_proc}"
+    )
+    out1 = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single-ref"],
+        env=env1, capture_output=True, text=True, timeout=1200,
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    ref_line = next(l for l in out1.stdout.splitlines()
+                    if "multistream_fps" in l)
+    ref = json.loads(ref_line)
+    multi = json.loads(multi_line)
+    print(json.dumps({
+        "metric": "multihost_efficiency",
+        "processes": n_proc,
+        "value": round(multi["value"] / max(ref["value"], 1e-9), 3),
+        "note": "vs single process at same global device count; virtual "
+                "CPU devices share host cores — validates mechanics, "
+                "not speedup",
+    }), flush=True)
+
+
+def _single_ref():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    n = len(jax.devices())
+    fps = run(n, n_warm=6, n_timed=24, size=(160, 120))
+    print(json.dumps({
+        "metric": "multistream_fps", "devices": n, "streams": n,
+        "value": round(fps, 2),
+    }), flush=True)
 
 
 def main():
@@ -88,4 +180,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multihost", type=int, default=0, metavar="N_PROC",
+                    help="run the multi-process (DCN-standin) scaling bench")
+    ap.add_argument("--devs-per-proc", type=int, default=2)
+    ap.add_argument("--single-ref", action="store_true")
+    ap.add_argument("--mh-worker-id", type=int, default=None)
+    ap.add_argument("--mh-nproc", type=int)
+    ap.add_argument("--mh-port", type=int)
+    ap.add_argument("--mh-devs", type=int)
+    a = ap.parse_args()
+    if a.mh_worker_id is not None:
+        _multihost_worker(a)
+    elif a.single_ref:
+        _single_ref()
+    elif a.multihost:
+        _multihost_parent(a.multihost, a.devs_per_proc)
+    else:
+        main()

@@ -62,7 +62,10 @@ class BAResult(NamedTuple):
 
 # chi2 gate: 5.991 is the 95% quantile of chi2(2dof) on *pixel* residuals
 # (bundle.cc:197); we work on the unit plane so callers scale by focal.
-DEFAULT_HUBER = jnp.sqrt(5.991)
+# Python float, NOT jnp: a module-level device op would initialize the
+# backend at import (breaking jax.distributed.initialize ordering) and is a
+# tunnel-poisoning hazard on the axon runtime.
+DEFAULT_HUBER = 5.991 ** 0.5
 
 
 def _residuals(poses, points, obs_uv, w_mask):
