@@ -29,6 +29,11 @@ def main(argv=None):
                     help="reference-format .cfg (OpenCV YAML)")
     ap.add_argument("--images", default=None,
                     help="directory with a files.txt image list")
+    ap.add_argument("--tum", default=None, metavar="SEQ_DIR",
+                    help="TUM RGB-D sequence directory (rgb.txt + rgb/; "
+                         "groundtruth.txt enables in-run ATE). The moment a "
+                         "dataset directory exists, --config configs/tum_f1"
+                         ".cfg --tum <dir> runs it end-to-end.")
     ap.add_argument("--filename", default="files.txt")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of a dataset")
@@ -89,6 +94,21 @@ def main(argv=None):
         poses = scene.trajectory(args.synthetic, translation_amp=1.0)
         gt_poses = np.stack(poses)
         frames = (scene.render(p) for p in poses)
+    elif args.tum:
+        if not args.config:
+            ap.error("--config required with --tum")
+        cfg = load_cfg(args.config)
+        from ..io.dataset import tum_rgb_source
+
+        tum_stamps: list = []
+
+        def _tum_frames():
+            for ts, img in tum_rgb_source(args.tum):
+                tum_stamps.append(ts)
+                yield img
+
+        frames = _tum_frames()
+        args._tum_stamps = tum_stamps
     else:
         if not args.config:
             ap.error("--config required unless --synthetic")
@@ -184,6 +204,16 @@ def main(argv=None):
         summary["ate_rmse"] = _ate_vs_gt(
             traj, gt_poses[np.clip(traj_ids, 0, len(gt_poses) - 1)], tracked
         )
+    if args.tum:
+        stamps = list(args._tum_stamps[:n])
+        if len(traj) and not args.resume:
+            tracked = np.asarray([
+                frame_states.get(int(fid)) == "RUNNING" for fid in traj_ids
+            ])
+            summary["ate_rmse_gt"] = _ate_vs_tum_gt(
+                args.tum, np.asarray(stamps)[np.clip(traj_ids, 0, n - 1)],
+                traj, tracked,
+            )
     print(json.dumps(summary))
 
     if args.trace:
@@ -203,6 +233,28 @@ def main(argv=None):
         save_tum_trajectory(args.output, stamps, traj)
         print(f"[INFO] trajectory written to {args.output}")
     return 0
+
+
+def _ate_vs_tum_gt(seq_dir, stamps, traj_wc, tracked=None):
+    """Sim(3)-aligned ATE against a TUM groundtruth.txt, associating by
+    nearest timestamp (the external TUM tooling's method — the reference
+    had no in-repo evaluation, SURVEY.md §6)."""
+    from ..io import evaluate
+    from ..io.dataset import load_tum_groundtruth
+
+    if not os.path.exists(os.path.join(seq_dir, "groundtruth.txt")):
+        return None
+    gt = load_tum_groundtruth(seq_dir)
+    stamps = np.asarray(stamps, np.float64)
+    traj_wc = np.asarray(traj_wc)
+    if tracked is not None and tracked.any():
+        stamps, traj_wc = stamps[tracked], traj_wc[tracked]
+    ia, ib = evaluate.associate(stamps, gt[:, 0])
+    if len(ia) < 3:
+        return None
+    p_est = evaluate.positions_from_poses(traj_wc[ia])
+    p_gt = gt[ib, 1:4]
+    return round(evaluate.ate_rmse(p_est, p_gt, with_scale=True), 4)
 
 
 def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
@@ -329,6 +381,12 @@ def _run_stream(args, cfg, frames, gt_poses=None):
             traj[:k], gt_poses[:k],
             tracked=np.asarray(r.states)[:k] == 2,
         )
+    if args.tum and r.n_frames and not args.resume:
+        k = min(r.n_frames, len(args._tum_stamps))
+        summary["ate_rmse_gt"] = _ate_vs_tum_gt(
+            args.tum, np.asarray(args._tum_stamps[:k]), traj[:k],
+            tracked=np.asarray(r.states)[:k] == 2,
+        )
     print(json.dumps(summary))
     if args.viz:
         from ..viz import render_stream_session
@@ -344,7 +402,10 @@ def _run_stream(args, cfg, frames, gt_poses=None):
     if args.output:
         from ..io.dataset import save_tum_trajectory
 
-        stamps = [i / cfg.video.fps for i in range(r.n_frames)]
+        if args.tum:
+            stamps = list(args._tum_stamps[: r.n_frames])
+        else:
+            stamps = [i / cfg.video.fps for i in range(r.n_frames)]
         save_tum_trajectory(args.output, stamps, traj)
         print(f"[INFO] trajectory written to {args.output}")
     return 0

@@ -101,3 +101,22 @@ def rebase_trajectory(traj_wc: np.ndarray, frame_ids: np.ndarray,
     delta = se3.compose(se3.inverse(jnp.asarray(old[a])), jnp.asarray(new[a]))
     rebased = np.asarray(se3.compose(jnp.asarray(traj), delta))
     return np.where(has[:, None], rebased, traj)
+
+
+def associate(stamps_est, stamps_gt, max_dt: float = 0.02):
+    """Nearest-timestamp association (the TUM benchmark's associate.py
+    semantics): for each estimate timestamp, the closest ground-truth
+    timestamp within ``max_dt`` seconds. Returns (idx_est, idx_gt)."""
+    est = np.asarray(stamps_est, np.float64)
+    gt = np.asarray(stamps_gt, np.float64)
+    ia, ib = [], []
+    for i, t in enumerate(est):
+        j = int(np.searchsorted(gt, t))
+        cands = [k for k in (j - 1, j) if 0 <= k < len(gt)]
+        if not cands:
+            continue
+        best = min(cands, key=lambda k: abs(gt[k] - t))
+        if abs(gt[best] - t) <= max_dt:
+            ia.append(i)
+            ib.append(best)
+    return np.asarray(ia, np.int64), np.asarray(ib, np.int64)

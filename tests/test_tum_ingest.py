@@ -1,0 +1,128 @@
+"""TUM RGB-D ingest path: reader, timestamp association, CLI end-to-end.
+
+The reference's whole validation story is running the binary on TUM-format
+dataset directories (reference video_source.cc:46-79 + external ATE tools).
+This test generates a tiny TUM-format sequence from the synthetic renderer
+(rgb/ PNGs + rgb.txt + groundtruth.txt) so the full ingest -> track ->
+associate -> ATE plumbing is exercised in CI with no dataset download; the
+moment a real TUM directory exists, the same CLI invocation runs it.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sdvl_tpu.io import evaluate
+from sdvl_tpu.io.dataset import load_tum_groundtruth, tum_rgb_source
+from sdvl_tpu.io.synthetic import PlaneScene, _np_se3_inverse
+
+_CLI_ENV = {**os.environ, "SDVL_PLATFORM": "cpu"}
+
+_CFG = """\
+Camera.width: 320
+Camera.height: 240
+Camera.fx: 210.0
+Camera.fy: 210.0
+Camera.u0: 159.5
+Camera.v0: 119.5
+Video.type: 1
+SDVL.cell_size: 32
+SDVL.min_avg_shift: 5
+SDVL.max_keyframes: 10
+SDVL.min_keyframe_its: 5
+SDVL.min_init_corners: 30
+SDVL.max_points: 512
+SDVL.max_candidates: 256
+SDVL.min_matches: 15
+SDVL.map_scale: 4.0
+"""
+
+
+def test_associate_nearest_timestamp():
+    est = np.array([0.0, 1.0, 2.0, 3.0])
+    gt = np.array([0.005, 0.99, 2.5])
+    ia, ib = evaluate.associate(est, gt, max_dt=0.02)
+    assert ia.tolist() == [0, 1]
+    assert ib.tolist() == [0, 1]
+    # tighter window rejects the 5ms offset too
+    ia2, _ = evaluate.associate(est, gt, max_dt=0.001)
+    assert ia2.tolist() == []
+
+
+@pytest.fixture(scope="module")
+def tum_fixture(tmp_path_factory):
+    """Render a 24-frame TUM-format sequence with known ground truth.
+
+    groundtruth.txt rows are cam->world `t tx ty tz qx qy qz qw` like the
+    real datasets, with stamps offset +3ms from rgb.txt to force the
+    nearest-timestamp association to do real work.
+    """
+    import cv2
+
+    seq = tmp_path_factory.mktemp("tum_seq")
+    (seq / "rgb").mkdir()
+    scene = PlaneScene(fx=210.0, fy=210.0, cx=159.5, cy=119.5,
+                       width=320, height=240, plane_z=4.0)
+    n = 24
+    t0 = 1305031100.0
+    poses = scene.trajectory(n)
+    rgb_lines = ["# color images", "# timestamp filename"]
+    gt_lines = ["# ground truth trajectory"]
+    for i, p in enumerate(poses):
+        ts = t0 + i / 30.0
+        img = np.round(np.clip(scene.render(p), 0, 255)).astype(np.uint8)
+        name = f"rgb/{ts:.6f}.png"
+        assert cv2.imwrite(str(seq / name), img)
+        rgb_lines.append(f"{ts:.6f} {name}")
+        qw, qx, qy, qz, tx, ty, tz = _np_se3_inverse(p)
+        gt_lines.append(f"{ts + 0.003:.6f} {tx} {ty} {tz} {qx} {qy} {qz} {qw}")
+    (seq / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (seq / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+    cfg = seq / "synthetic.cfg"
+    cfg.write_text(_CFG)
+    return seq, cfg, np.stack(poses)
+
+
+def test_tum_reader_roundtrip(tum_fixture):
+    seq, _, poses = tum_fixture
+    frames = list(tum_rgb_source(str(seq)))
+    assert len(frames) == len(poses)
+    ts0, img0 = frames[0]
+    assert abs(ts0 - 1305031100.0) < 1e-4
+    assert img0.shape == (240, 320)
+    gt = load_tum_groundtruth(str(seq))
+    assert gt.shape == (len(poses), 8)
+    # first pose is identity: cam->world translation 0, qw=1
+    np.testing.assert_allclose(gt[0, 1:4], 0.0, atol=1e-6)
+    assert abs(gt[0, 7]) > 0.999
+
+
+def test_cli_tum_end_to_end(tum_fixture, tmp_path):
+    """`run --config <cfg> --tum <dir>` must track the sequence and report
+    a groundtruth ATE through the associate() path (VERDICT r1 item 1b)."""
+    seq, cfg, poses = tum_fixture
+    out = tmp_path / "traj.txt"
+    res = subprocess.run(
+        [sys.executable, "-m", "sdvl_tpu.cli.run", "--config", str(cfg),
+         "--tum", str(seq), "--quiet", "--output", str(out)],
+        capture_output=True, text=True, timeout=900, env=_CLI_ENV,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    summary = json.loads(
+        [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["frames"] == len(poses)
+    assert summary["keyframes"] >= 2
+    ate = summary["ate_rmse_gt"]
+    assert ate is not None, summary
+    p_gt = np.stack([_np_se3_inverse(p)[4:] for p in poses])
+    extent = float(np.linalg.norm(np.ptp(p_gt, axis=0)))
+    assert ate < 0.03 * max(extent, 1e-6), (ate, extent)
+    # trajectory file carries the dataset timestamps, not frame/fps
+    stamps = np.loadtxt(str(out), usecols=0)
+    assert abs(stamps[0] - 1305031100.0) < 1e-3
+    assert abs((stamps[1] - stamps[0]) - 1 / 30.0) < 1e-3
