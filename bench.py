@@ -6,16 +6,25 @@ Protocol: render a 640x480 synthetic sequence (same camera geometry as TUM
 fr1), run the full SLAM system — bootstrap, per-frame tracking (sparse direct
 alignment + map-point matching + robust pose), depth-filter mapping,
 keyframes + local BA — to steady state, then time the tracking hot path
-end-to-end over the remaining frames: host frame upload + one fused device
-launch per frame (pipeline.device_fsm), synchronized once at the end of the
-timed window. Results (poses, match counts, states) are pulled and sanity-
-checked AFTER timing, because on this runtime any device->host transfer
-permanently degrades launch latency (see pipeline/device_fsm.py docstring).
+end-to-end over the remaining frames in CHUNK-frame lax.scan launches
+(pipeline.device_fsm.make_chunk_step): host frame upload + one fused device
+launch per chunk, synchronized once at the end of the timed window. Chunked
+dispatch is the framework's throughput serving mode; it also keeps the
+number insensitive to tunnel launch-latency noise (observed 0.4-1.7 ms/frame
+run-to-run on per-frame dispatch for identical code). Results (poses, match
+counts, states) are pulled and sanity-checked AFTER timing, because on this
+runtime any device->host transfer permanently degrades launch latency (see
+pipeline/device_fsm.py docstring).
 
-Baseline: the reference SDVL is engineered around a 30 FPS real-time budget —
-main.cc:99-100,157-158 paces the loop to 33.3 ms/frame and the tracking
-latency it prints is measured against that budget (no other number is
-published in the repo; see BASELINE.md). vs_baseline = fps / 30.
+Baseline: MEASURED. The reference was built in this container
+(tools/build_reference.sh: g++ -O3 -march=native -msse3, GUI off, vendored
+g2o) and timed on the SAME synthetic 640x480 sequence this bench renders
+(tools/measure_reference.py): its tracking thread averages 6.9 ms/frame =
+145 fps on an idle host (best of 3 runs — generous to the reference, and
+mapping runs on its second thread, NOT counted against it, while our fused
+device FSM includes the mapper inline). vs_baseline = fps / 145. The
+reference's own design target is 30 FPS (main.cc:99-100 paces to 33.3
+ms/frame).
 """
 
 import json
@@ -37,7 +46,8 @@ def main():
                                           SdvlConfig)
     from sdvl_tpu.pipeline.stream import SdvlStream  # noqa: E402
 
-    n_warm = 12     # frames: bootstrap + compile everything
+    chunk = 16      # frames per fused lax.scan launch
+    n_warm = 16     # one warmup chunk: bootstrap + compile everything
     n_timed = 240
 
     scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
@@ -57,13 +67,12 @@ def main():
         for p in scene.trajectory(n_warm + n_timed, translation_amp=1.0)
     ]
 
-    for img in frames[:n_warm]:
-        slam.feed(img)
+    slam.feed_chunk(np.stack(frames[:n_warm]))
     slam.block()  # compile + bootstrap settled (sync, no host transfer)
 
     t0 = time.perf_counter()
-    for img in frames[n_warm:]:
-        slam.feed(img)
+    for i in range(n_warm, n_warm + n_timed, chunk):
+        slam.feed_chunk(np.stack(frames[i : i + chunk]))
     slam.block()
     dt = time.perf_counter() - t0
     fps = n_timed / dt
@@ -75,11 +84,13 @@ def main():
     assert (timed_matches >= cfg.sdvl.min_matches).mean() > 0.9, timed_matches
     assert np.isfinite(r.trajectory).all()
 
+    # measured reference-tracking-thread fps on this host (BASELINE.md)
+    baseline_fps = 145.0
     print(json.dumps({
         "metric": "tracked_frames_per_s_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps / baseline_fps, 3),
     }))
 
 

@@ -153,24 +153,35 @@ def detect_level(img: jnp.ndarray, level: int, cell: int = 32,
 
 def detect_pyramid(pyr: Sequence[jnp.ndarray], levels: int = 3,
                    cell: int = 32, fast_threshold: float = 10.0,
-                   st_threshold: float = 50.0) -> Corners:
+                   st_threshold: float = 50.0,
+                   max_features: int | None = None) -> Corners:
     """Detect over the first ``levels`` pyramid levels and concatenate.
 
     Mirrors reference DetectPyramid (fast_detector.cc:154-175) which detects
     on 3 levels; capacity control is structural (cells) rather than the
-    reference's mutable per-cell quotas.
+    reference's mutable per-cell quotas. ``max_features`` caps the total
+    corner budget like the reference's ``Config::NumFeatures``
+    (fast_detector.cc:108-151 retainBest): when the cell capacity exceeds
+    it, only the ``max_features`` best-scoring corners survive (static
+    top-k, so the output shape is ``min(cells*levels, max_features)``).
     """
     parts = [
         detect_level(pyr[l], l, cell=cell, fast_threshold=fast_threshold,
                      st_threshold=st_threshold)
         for l in range(levels)
     ]
-    return Corners(
+    out = Corners(
         xy=jnp.concatenate([p.xy for p in parts]),
         score=jnp.concatenate([p.score for p in parts]),
         level=jnp.concatenate([p.level for p in parts]),
         valid=jnp.concatenate([p.valid for p in parts]),
     )
+    if max_features is not None and max_features < out.xy.shape[0]:
+        key = jnp.where(out.valid, out.score, -jnp.inf)
+        _, keep = jax.lax.top_k(key, max_features)
+        out = Corners(xy=out.xy[keep], score=out.score[keep],
+                      level=out.level[keep], valid=out.valid[keep])
+    return out
 
 
 def occupied_cells(feature_xy: jnp.ndarray, feature_valid: jnp.ndarray,

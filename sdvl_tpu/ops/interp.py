@@ -168,11 +168,10 @@ def bilinear_indexed(imgs: jnp.ndarray, k: jnp.ndarray,
     x1i = jnp.clip(x0i + 1, 0, W - 1)
     y1i = jnp.clip(y0i + 1, 0, H - 1)
     kk = jnp.broadcast_to(k, x0i.shape)
-    f = imgs.astype(jnp.float32)
-    v00 = f[kk, y0i, x0i]
-    v01 = f[kk, y0i, x1i]
-    v10 = f[kk, y1i, x0i]
-    v11 = f[kk, y1i, x1i]
+    v00 = imgs[kk, y0i, x0i].astype(jnp.float32)
+    v01 = imgs[kk, y0i, x1i].astype(jnp.float32)
+    v10 = imgs[kk, y1i, x0i].astype(jnp.float32)
+    v11 = imgs[kk, y1i, x1i].astype(jnp.float32)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
@@ -195,11 +194,12 @@ def bilinear_indexed_pyramid(pyr_stack, k: jnp.ndarray, level: jnp.ndarray,
     flat = jnp.concatenate([p.reshape(K, -1) for p in pyr_stack], axis=1)
     i00, i01, i10, i11, wx, wy = _flat_level_index(pyr_stack, level, xy_l0)
     kk = jnp.broadcast_to(k, i00.shape)
-    f = flat.astype(jnp.float32)
-    v00 = f[kk, i00]
-    v01 = f[kk, i01]
-    v10 = f[kk, i10]
-    v11 = f[kk, i11]
+    # gather THEN convert: the store may be uint8 (kf_pyr) — converting
+    # first would materialize a f32 copy of the whole keyframe store
+    v00 = flat[kk, i00].astype(jnp.float32)
+    v01 = flat[kk, i01].astype(jnp.float32)
+    v10 = flat[kk, i10].astype(jnp.float32)
+    v11 = flat[kk, i11].astype(jnp.float32)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
@@ -218,9 +218,12 @@ def bilinear_pyramid(pyr, level: jnp.ndarray, xy_l0: jnp.ndarray) -> jnp.ndarray
     """
     flat = jnp.concatenate([p.reshape(-1) for p in pyr])
     i00, i01, i10, i11, wx, wy = _flat_level_index(pyr, level, xy_l0)
-    f = flat.astype(jnp.float32)
-    top = f[i00] * (1 - wx) + f[i01] * wx
-    bot = f[i10] * (1 - wx) + f[i11] * wx
+    v00 = flat[i00].astype(jnp.float32)
+    v01 = flat[i01].astype(jnp.float32)
+    v10 = flat[i10].astype(jnp.float32)
+    v11 = flat[i11].astype(jnp.float32)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
 
 

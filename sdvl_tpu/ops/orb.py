@@ -18,34 +18,37 @@ Design departures (deliberate — behavioral parity, not bit parity):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import interp
 
-PATCH_RADIUS = 15  # 31x31 patch, as the reference
+PATCH_RADIUS = 15  # 31x31 patch, as the reference (Config::ORBSize = 31)
 N_BITS = 256
 
 
-def _make_pattern(seed: int = 7) -> np.ndarray:
+@functools.lru_cache(maxsize=8)
+def _make_pattern(radius: int = PATCH_RADIUS, seed: int = 7) -> np.ndarray:
     """(256, 4) float32 of (x1, y1, x2, y2) test pairs, N(0, (r/5)^2)
-    clipped to the patch — the original BRIEF-II sampling scheme."""
+    clipped to the patch — the original BRIEF-II sampling scheme. Cached
+    per radius (``SDVL.orb_size`` knob, config.cc orb_size_)."""
     rs = np.random.RandomState(seed)
-    sigma = PATCH_RADIUS / 5.0 * 2.0
+    sigma = radius / 5.0 * 2.0
     pts = rs.normal(0.0, sigma, size=(N_BITS, 4))
-    return np.clip(pts, -PATCH_RADIUS + 1, PATCH_RADIUS - 1).astype(np.float32)
+    return np.clip(pts, -radius + 1, radius - 1).astype(np.float32)
 
-
-# Host (numpy) constants: these are closed over by jitted code, and
-# closure-captured DEVICE arrays poison this TPU runtime (they also traced
-# to separate executable-attached buffers; numpy traces to HLO literals).
-_PATTERN = _make_pattern()
 
 # In-circle offsets for the orientation moments (the reference's u_max rows,
 # orb_detector.cc:45-60, enumerate exactly these pixels). Static host table:
 # only ~72% of the bounding square is inside the circle — gathering just the
 # in-circle taps saves 28% of the dominant gather cost.
+# Host (numpy) constants: these are closed over by jitted code, and
+# closure-captured DEVICE arrays poison this TPU runtime (they also traced
+# to separate executable-attached buffers; numpy traces to HLO literals).
+@functools.lru_cache(maxsize=8)
 def _circle_offsets(r: int) -> np.ndarray:
     d = np.arange(-r, r + 1)
     oy, ox = np.meshgrid(d, d, indexing="ij")
@@ -53,37 +56,37 @@ def _circle_offsets(r: int) -> np.ndarray:
     return np.stack([ox[keep], oy[keep]], axis=-1).astype(np.float32)
 
 
-_CIRCLE = _circle_offsets(PATCH_RADIUS)  # (M, 2) of (x, y)
-
-
-def orientations(img: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+def orientations(img: jnp.ndarray, centers: jnp.ndarray,
+                 radius: int = PATCH_RADIUS) -> jnp.ndarray:
     """Intensity-centroid orientation (radians) at each center (N, 2).
 
     Mirrors reference GetOrientation (orb_detector.cc:412-437): moments m01,
-    m10 over the circular 31px patch; angle = atan2(m01, m10). Taps are
-    integer pixels (one flat gather), exactly like the reference's
+    m10 over the circular ``2*radius+1`` px patch; angle = atan2(m01, m10).
+    Taps are integer pixels (one flat gather), exactly like the reference's
     ``at<uchar>`` reads.
     """
-    pos = centers[:, None, :] + _CIRCLE[None]          # (N, M, 2)
+    circle = _circle_offsets(radius)
+    pos = centers[:, None, :] + circle[None]           # (N, M, 2)
     vals = interp.nearest(img, pos)                    # (N, M)
-    m10 = vals @ _CIRCLE[:, 0]
-    m01 = vals @ _CIRCLE[:, 1]
+    m10 = vals @ circle[:, 0]
+    m01 = vals @ circle[:, 1]
     return jnp.arctan2(m01, m10)
 
 
 def descriptors(img: jnp.ndarray, centers: jnp.ndarray,
-                angles: jnp.ndarray | None = None) -> jnp.ndarray:
+                angles: jnp.ndarray | None = None,
+                radius: int = PATCH_RADIUS) -> jnp.ndarray:
     """Rotated-BRIEF descriptors, (N, 8) uint32 (256 bits).
 
     Test pairs are rotated by the patch orientation (steered BRIEF,
     reference orb_detector.cc:350-395) and read at integer pixels — one flat
     gather over both endpoints of all 256 tests, matching the reference's
-    rounded ``at<uchar>`` reads.
+    rounded ``at<uchar>`` reads. ``radius`` = ``orb_size // 2``.
     """
     if angles is None:
-        angles = orientations(img, centers)
+        angles = orientations(img, centers, radius=radius)
     ca, sa = jnp.cos(angles), jnp.sin(angles)
-    pts = _PATTERN.reshape(N_BITS * 2, 2)  # both endpoints as one batch
+    pts = _make_pattern(radius).reshape(N_BITS * 2, 2)  # both endpoints
     x = pts[None, :, 0] * ca[:, None] - pts[None, :, 1] * sa[:, None]
     y = pts[None, :, 0] * sa[:, None] + pts[None, :, 1] * ca[:, None]
     pos = centers[:, None, :] + jnp.stack([x, y], axis=-1)  # (N, 512, 2)

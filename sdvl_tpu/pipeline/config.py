@@ -69,8 +69,10 @@ class SdvlConfig:
     # the reference grows std::vectors, we preallocate masked slots) ---
     max_points: int = 4096        # world-point slots
     max_candidates: int = 1024    # depth-filter candidate slots
-    max_frame_feats: int = 512    # tracked features per frame
-    ransac_hypotheses: int = 64   # vmapped pose-RANSAC lanes
+    ransac_hypotheses: int = 64   # vmapped pose-RANSAC lane capacity; the
+                                  #   effective count is min(this,
+                                  #   max_ransac_its) so presets that lower
+                                  #   Config::MaxRansacIts take effect
     epipolar_samples: int = 32    # samples along the epipolar segment
     max_reobs: int = 512          # reobservation attempts per new keyframe
                                   #   (AddConnectionsPoints, map.cc:560-617)

@@ -83,7 +83,8 @@ def vogiatzis_update(rho, sigma2, a, b, x, tau2, rho_range):
 
 def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                       n_samples: int = 32, max_failed: int = 15,
-                      use_orb: bool = False) -> MapState:
+                      use_orb: bool = False, patch_half: int = 4,
+                      lk_iters: int = 8, orb_radius: int = 15) -> MapState:
     """Epipolar-match every candidate and update its depth filter.
 
     Mirrors Map::UpdateCandidates (map.cc:402-498): match -> triangulate ->
@@ -92,7 +93,8 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     failures are freed.
     """
     res: EpipolarResult = epipolar_search(
-        m, intr, cur_pyr, pose_cur, n_samples=n_samples, use_orb=use_orb
+        m, intr, cur_pyr, pose_cur, n_samples=n_samples, use_orb=use_orb,
+        half=patch_half, lk_iters=lk_iters, orb_radius=orb_radius,
     )
 
     T_cur_ref = se3.compose(pose_cur[None], se3.inverse(m.kf_pose[m.cand_kf]))
@@ -170,7 +172,8 @@ def promote_converged(m: MapState, threshold_converged: float = 0.1,
 
 
 def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
-                    scene_depth_median: jnp.ndarray, cell: int):
+                    scene_depth_median: jnp.ndarray, cell: int,
+                    orb_radius: int = 15):
     """Seed new candidates at detected corners of a new keyframe.
 
     Mirrors Map::InitCandidates (map.cc:262-400): corners in cells not
@@ -186,7 +189,7 @@ def seed_candidates(m: MapState, intr, fs_pyr, fs_corners, kf_slot,
     H, W = fs_pyr[0].shape
     # anchor ORB descriptor per seed (reference InitCandidates stores the
     # creating feature's descriptor, map.cc:335-346 via Feature ctor)
-    desc = orb.descriptors(fs_pyr[0], corner_xy)
+    desc = orb.descriptors(fs_pyr[0], corner_xy, radius=orb_radius)
 
     # Suppress cells already occupied by observations of this keyframe
     occ = fast_ops.occupied_cells(
@@ -233,7 +236,9 @@ def triangulate_new_seeds(m: MapState, intr, anchor_slot,
                           new_mask: jnp.ndarray, n_samples: int = 32,
                           n_best: int = 5, scale_min_dist: float = 0.25,
                           map_scale: float = 1.0,
-                          use_orb: bool = False) -> MapState:
+                          use_orb: bool = False, patch_half: int = 4,
+                          lk_iters: int = 8,
+                          orb_radius: int = 15) -> MapState:
     """Re-center fresh seeds at a triangulated depth.
 
     Mirrors the triangulation half of Map::InitCandidates (reference
@@ -266,7 +271,9 @@ def triangulate_new_seeds(m: MapState, intr, anchor_slot,
     ref_pose = m.kf_pose[ref]
     m_search = m._replace(cand_valid=new_mask & m.cand_valid)
     res = epipolar_search(m_search, intr, ref_pyr, ref_pose,
-                          n_samples=n_samples, use_orb=use_orb)
+                          n_samples=n_samples, use_orb=use_orb,
+                          half=patch_half, lk_iters=lk_iters,
+                          orb_radius=orb_radius)
 
     z = jnp.maximum(res.depth_anchor, 1e-6)
     p_anchor = m.cand_bearing * z[:, None]

@@ -31,7 +31,8 @@ from ..core import camera as cam
 from ..core import geometry, se3
 from ..ops import fast as fast_ops
 from ..ops import interp, orb, pyramid
-from ..state.map_state import MapState, alloc_slots, empty_map
+from ..state.map_state import (MapState, alloc_slots, empty_map,
+                               store_pyramid)
 from . import bootstrap, depth_filter, mapper, matcher, relocalize, tracker
 from .config import Config, intrinsics
 
@@ -107,11 +108,16 @@ def init_state(cfg: Config, seed: int = 0):
     probe = jax.eval_shape(
         functools.partial(fast_ops.detect_pyramid, levels=s.max_fast_levels,
                           cell=s.cell_size, fast_threshold=s.fast_threshold,
-                          st_threshold=s.min_feature_score),
+                          st_threshold=s.min_feature_score,
+                          max_features=s.num_features),
         pyr_structs,
     )
     n_corners = probe.xy.shape[0]
     n_cells = (cw // s.cell_size) * (ch // s.cell_size)
+    # match-lane capacity: per-cell winners capped by Config::MaxMatches
+    # (matcher.match_map_points max_matches top-k) — the carry's match set
+    # must share that static shape
+    n_cells = min(n_cells, s.max_matches)
 
     carry = SlamCarry(
         state=jnp.asarray(STATE_FIRST, jnp.int32),
@@ -162,6 +168,7 @@ def make_step(cfg: Config, undistort: bool):
             pyr, levels=s.max_fast_levels, cell=s.cell_size,
             fast_threshold=s.fast_threshold,
             st_threshold=s.min_feature_score,
+            max_features=s.num_features,
         )
         return pyr, corners
 
@@ -201,7 +208,9 @@ def make_step(cfg: Config, undistort: bool):
         pose1 = se3.identity()
         kf_pyr = tuple(
             lvl.at[0].set(i1).at[1].set(i2)
-            for lvl, i1, i2 in zip(m.kf_pyr, carry.pyr1, pyr)
+            for lvl, i1, i2 in zip(
+                m.kf_pyr, store_pyramid(carry.pyr1), store_pyramid(pyr)
+            )
         )
         m = m._replace(
             kf_pose=m.kf_pose.at[0].set(pose1).at[1].set(boot.pose2),
@@ -212,7 +221,8 @@ def make_step(cfg: Config, undistort: bool):
             n_keyframes=jnp.asarray(2, jnp.int32),
         )
         slots, _ok = alloc_slots(~m.pt_valid, boot.inlier)
-        desc1 = orb.descriptors(carry.pyr1[0], boot.px1)
+        desc1 = orb.descriptors(carry.pyr1[0], boot.px1,
+                                radius=s.orb_size // 2)
         m = m._replace(
             pt_pos=m.pt_pos.at[slots].set(boot.pts_w, mode="drop"),
             pt_desc=m.pt_desc.at[slots].set(desc1, mode="drop"),
@@ -229,6 +239,7 @@ def make_step(cfg: Config, undistort: bool):
         m, _ = depth_filter.seed_candidates(
             m, intr, pyr, (corners.xy, corners.level, corners.valid),
             jnp.asarray(1, jnp.int32), depth_med, s.cell_size,
+            orb_radius=s.orb_size // 2,
         )
         # two-view BA over the seed map (sdvl.cc:172 Map::BundleAdjustment)
         m = mapper.local_ba(m, intr, jnp.asarray(1, jnp.int32), window=1,
@@ -240,7 +251,12 @@ def make_step(cfg: Config, undistort: bool):
             m, T = mapper.transform_initial_map(m, key_t)
             pose = se3.compose(pose, se3.inverse(T))
         mr = matcher.match_map_points(m, intr, pyr, pose, cell=s.cell_size,
-                                      use_orb=s.use_orb)
+                                      use_orb=s.use_orb,
+                                      half=s.patch_size // 2,
+                                      lk_iters=s.max_align_its,
+                                      reproj_px=float(s.search_size),
+                                      max_matches=s.max_matches,
+                                      orb_radius=s.orb_size // 2)
         n_match = jnp.maximum(jnp.sum(mr.ok), 1).astype(jnp.int32)
         carry = carry._replace(
             state=jnp.asarray(STATE_RUNNING, jnp.int32),
@@ -295,7 +311,8 @@ def make_step(cfg: Config, undistort: bool):
             points), not the previous — possibly garbage — frame."""
             rl = relocalize.relocalize(m, intr, pyr, carry.pose,
                                        level=min(4, levels - 1))
-            ref_pyr = tuple(p[rl.kf] for p in m.kf_pyr)
+            # f32: lax.cond branch outputs must match do_predict's dtype
+            ref_pyr = tuple(p[rl.kf].astype(jnp.float32) for p in m.kf_pyr)
             obs = m.obs_mask[rl.kf] & m.pt_valid
             order = jnp.argsort(~obs)[:S].astype(jnp.int32)
             return ref_pyr, order, obs[order], m.kf_pose[rl.kf], rl.pose
@@ -319,7 +336,12 @@ def make_step(cfg: Config, undistort: bool):
             inlier_thresh_px=s.inlier_error_threshold,
             use_orb=s.use_orb,
             ransac_key=jax.random.fold_in(carry.key, carry.frame_id),
-            ransac_hypotheses=s.ransac_hypotheses,
+            ransac_hypotheses=min(s.ransac_hypotheses, s.max_ransac_its),
+            ransac_points=s.max_ransac_points,
+            patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
+            search_px=float(s.search_size), max_matches=s.max_matches,
+            align_patch_half=s.align_patch_size // 2,
+            orb_radius=s.orb_size // 2,
         )
         m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
 
@@ -369,20 +391,25 @@ def make_step(cfg: Config, undistort: bool):
                     max_reobs=s.max_reobs,
                     scale_min_dist=s.scale_min_dist, map_scale=s.map_scale,
                     use_orb=s.use_orb, epipolar_samples=s.epipolar_samples,
+                    patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
+                    orb_radius=s.orb_size // 2,
                 )
                 m = mapper.local_ba(
                     m, intr, slot,
                     window=min(10, s.max_keyframes - 1),
                     max_points=min(s.max_points, 512),
                 )
-                m = mapper.prune_weak_points(m)
-                return mapper.check_redundant_keyframes(m)
+                # redundant-KF pruning happens in update_map below, every
+                # frame (reference map.cc:121 non-KF iterations)
+                return mapper.prune_weak_points(m)
 
             m = jax.lax.cond(is_kf, with_kf, lambda m: m, m)
             m = mapper.update_map(
                 m, intr, pyr, tr.pose, n_samples=s.epipolar_samples,
                 threshold_converged=s.threshold_converged,
                 max_failed=s.max_failed, use_orb=s.use_orb,
+                patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
+                orb_radius=s.orb_size // 2,
             )
             carry = carry._replace(
                 pose=tr.pose,

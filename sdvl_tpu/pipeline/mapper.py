@@ -23,7 +23,7 @@ from ..core import camera as cam
 from ..core import geometry, se3
 from ..solvers import ba
 from ..state.map_state import (MapState, alloc_slots, best_connections,
-                               covisibility, kf_slot_to_evict)
+                               covisibility, kf_slot_to_evict, store_pyramid)
 from . import depth_filter
 
 
@@ -35,7 +35,9 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
                  corners_valid: jnp.ndarray, cell: int,
                  n_search_kf: int = 5, max_reobs: int = 512,
                  scale_min_dist: float = 0.25, map_scale: float = 1.0,
-                 use_orb: bool = False, epipolar_samples: int = 32):
+                 use_orb: bool = False, epipolar_samples: int = 32,
+                 patch_half: int = 4, lk_iters: int = 8,
+                 orb_radius: int = 15):
     """Insert the current frame as a keyframe.
 
     Combines reference AddKeyframe + CheckConnections + AddConnectionsPoints
@@ -70,9 +72,10 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
         pt_valid=m.pt_valid & ~(full & (m.pt_anchor_kf == slot)),
     )
 
-    # write keyframe
+    # write keyframe (store quantizes to uint8, map_state.store_pyramid)
     kf_pyr = tuple(
-        lvl.at[slot].set(img) for lvl, img in zip(m.kf_pyr, pyr)
+        lvl.at[slot].set(img)
+        for lvl, img in zip(m.kf_pyr, store_pyramid(pyr))
     )
     m = m._replace(
         kf_pose=m.kf_pose.at[slot].set(pose),
@@ -108,30 +111,42 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
     if max_reobs > 0:
         m = matcher_mod.reobserve_points(
             m, intr, pyr, pose, slot, n_best=n_search_kf,
-            max_reobs=max_reobs,
+            max_reobs=max_reobs, half=patch_half, lk_iters=lk_iters,
         )
     m, new_seeds = depth_filter.seed_candidates(
         m, intr, pyr, (corners_xy, corners_level, corners_valid), slot,
-        depth_med, cell,
+        depth_med, cell, orb_radius=orb_radius,
     )
     m = depth_filter.triangulate_new_seeds(
         m, intr, slot, depth_med, new_seeds, n_samples=epipolar_samples,
         n_best=n_search_kf, scale_min_dist=scale_min_dist,
-        map_scale=map_scale, use_orb=use_orb,
+        map_scale=map_scale, use_orb=use_orb, patch_half=patch_half,
+        lk_iters=lk_iters, orb_radius=orb_radius,
     )
     return m, slot
 
 
 def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                n_samples: int = 32, threshold_converged: float = 0.1,
-               max_failed: int = 15, use_orb: bool = False) -> MapState:
+               max_failed: int = 15, use_orb: bool = False,
+               patch_half: int = 4, lk_iters: int = 8,
+               orb_radius: int = 15,
+               prune_redundant: bool = True) -> MapState:
     """Per-frame mapper iteration (Map::UpdateMap, map.cc:73-143): update
-    all candidate depth filters against this frame, promote converged ones."""
+    all candidate depth filters against this frame, promote converged ones,
+    and retire one redundant keyframe if any (the reference runs
+    CheckRedundantKeyframes on every non-keyframe mapper iteration,
+    map.cc:121 — running it per frame here means a pruning backlog drains
+    at >= 1 keyframe/frame instead of accumulating between keyframes)."""
     m = depth_filter.update_candidates(
         m, intr, cur_pyr, pose_cur, n_samples=n_samples,
-        max_failed=max_failed, use_orb=use_orb,
+        max_failed=max_failed, use_orb=use_orb, patch_half=patch_half,
+        lk_iters=lk_iters, orb_radius=orb_radius,
     )
-    return depth_filter.promote_converged(m, threshold_converged)
+    m = depth_filter.promote_converged(m, threshold_converged)
+    if prune_redundant:
+        m = check_redundant_keyframes(m)
+    return m
 
 
 class BAWindow(NamedTuple):
@@ -257,9 +272,11 @@ def global_ba(m: MapState, intr, mesh=None, stage_iters=(8, 12),
     with whatever local BA left behind). Single-device by default; pass a
     ``jax.sharding.Mesh`` to shard the point blocks over ``axis`` and psum
     the reduced camera system over ICI (dist.ba_sharded.solve_sharded) —
-    point capacity then scales linearly with devices. Note the reduced
-    camera solve is a dense (6K, 6K) Cholesky: fine up to a few hundred
-    keyframe slots; larger maps should switch to a CG backend.
+    point capacity then scales linearly with devices. The reduced camera
+    solve is a dense (6K, 6K) Cholesky up to ba.CG_KF_THRESHOLD keyframe
+    slots and matrix-free block-Jacobi PCG beyond (ba._schur_solve_cg), so
+    Zurich-scale maps (max_keyframes 1000) never materialize the dense
+    system.
     """
     problem = extract_global_ba(m, intr)
     huber = jnp.sqrt(5.991) / jnp.minimum(intr.fx, intr.fy)

@@ -118,14 +118,21 @@ def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                      cell: int, half: int = 4, lk_iters: int = 10,
                      reproj_px: float = 6.0, use_orb: bool = False,
                      orb_max_dist: int = 100,
-                     err_max: float = 22.0) -> MatchResult:
+                     err_max: float = 22.0,
+                     max_matches: int | None = None,
+                     orb_radius: int = 15) -> MatchResult:
     """Reproject valid map points, pick one per grid cell, LK-align each.
 
     Equivalent to FeatureAlign::Reproject+SelectPoints+SearchPoint for
-    converged points. The per-cell capacity IS the match budget (the
-    reference caps at ``max_matches`` over ~300 cells, feature_align.cc:119).
-    A match succeeds when LK converges and lands within ``reproj_px`` of the
-    prediction (gross drifts are outliers for the pose stage anyway).
+    converged points. The per-cell capacity is the structural match budget;
+    ``max_matches`` additionally caps the number of attempts like the
+    reference's ``Config::MaxMatches`` (feature_align.cc:119 stops selecting
+    at 150-300 depending on preset): when fewer than the cell count, only
+    the ``max_matches`` best per-cell winners (by found-fail quality) are
+    LK-aligned — which also shrinks every downstream lane count.
+    A match succeeds when LK converges and lands within ``reproj_px``
+    (``Config::SearchSize``) of the prediction (gross drifts are outliers
+    for the pose stage anyway).
 
     With ``use_orb`` (static), matches are additionally gated by the Hamming
     distance between the point's anchor ORB descriptor and a descriptor at
@@ -147,6 +154,10 @@ def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     cell_id = cy * gw + cx
     quality = (m.pt_found - m.pt_fail).astype(jnp.float32)
     sel_idx, attempted = grid_select(cell_id, quality, visible, n_cells)
+    if max_matches is not None and max_matches < n_cells:
+        q_sel = jnp.where(attempted, quality[sel_idx], -jnp.inf)
+        _, keep = jax.lax.top_k(q_sel, max_matches)
+        sel_idx, attempted = sel_idx[keep], attempted[keep]
 
     patches, search_level, px_pred = _warped_ref_patches(
         m, intr, sel_idx, pose_cur, half
@@ -166,7 +177,7 @@ def match_map_points(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     if use_orb:
         from ..ops import orb
 
-        desc_cur = orb.descriptors(cur_pyr[0], res.xy)
+        desc_cur = orb.descriptors(cur_pyr[0], res.xy, radius=orb_radius)
         dist = orb.hamming(desc_cur, m.pt_desc[sel_idx])
         ok = ok & (dist < orb_max_dist)
     uv = jnp.stack([
@@ -250,7 +261,8 @@ def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                     n_samples: int = 32, half: int = 4,
                     zmssd_max: float = 40.0 ** 2 * 64,
                     lk_iters: int = 8, use_orb: bool = False,
-                    orb_max_dist: int = 100) -> EpipolarResult:
+                    orb_max_dist: int = 100,
+                    orb_radius: int = 15) -> EpipolarResult:
     """Match depth-filter candidates along their epipolar segments.
 
     Mirrors Matcher::SearchPoint for unconverged candidates
@@ -328,7 +340,7 @@ def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     if use_orb:
         from ..ops import orb
 
-        desc_cur = orb.descriptors(cur_pyr[0], res.xy)
+        desc_cur = orb.descriptors(cur_pyr[0], res.xy, radius=orb_radius)
         dist = orb.hamming(desc_cur, m.cand_desc)
         ok = ok & (dist < orb_max_dist)
     return EpipolarResult(px=res.xy, ok=ok, depth_anchor=depth,

@@ -30,7 +30,8 @@ from ..core import se3
 from ..ops import fast as fast_ops
 from ..ops import interp, pyramid
 from ..solvers import image_align
-from ..state.map_state import MapState, alloc_slots, empty_map
+from ..state.map_state import (MapState, alloc_slots, empty_map,
+                               store_pyramid)
 from . import bootstrap, mapper, matcher, relocalize, tracker
 from .config import Config, intrinsics
 
@@ -119,6 +120,7 @@ class SDVL:
                 pyr, levels=s.max_fast_levels, cell=s.cell_size,
                 fast_threshold=s.fast_threshold,
                 st_threshold=s.min_feature_score,
+                max_features=s.num_features,
             )
             return pyr, corners
 
@@ -138,7 +140,9 @@ class SDVL:
             pose1 = se3.identity()
             kf_pyr = tuple(
                 lvl.at[0].set(i1).at[1].set(i2)
-                for lvl, i1, i2 in zip(m.kf_pyr, pyr1, pyr2)
+                for lvl, i1, i2 in zip(
+                    m.kf_pyr, store_pyramid(pyr1), store_pyramid(pyr2)
+                )
             )
             m = m._replace(
                 kf_pose=m.kf_pose.at[0].set(pose1).at[1].set(boot.pose2),
@@ -150,7 +154,7 @@ class SDVL:
             from ..ops import orb
 
             slots, ok = alloc_slots(~m.pt_valid, boot.inlier)
-            desc1 = orb.descriptors(pyr1[0], boot.px1)
+            desc1 = orb.descriptors(pyr1[0], boot.px1, radius=s.orb_size // 2)
             m = m._replace(
                 pt_pos=m.pt_pos.at[slots].set(boot.pts_w, mode="drop"),
                 pt_desc=m.pt_desc.at[slots].set(desc1, mode="drop"),
@@ -169,6 +173,7 @@ class SDVL:
             m, _ = depth_filter.seed_candidates(
                 m, intr, pyr2, (corners2_xy, corners2_level, corners2_valid),
                 jnp.asarray(1, jnp.int32), depth_med, s.cell_size,
+                orb_radius=s.orb_size // 2,
             )
             return m
 
@@ -184,7 +189,13 @@ class SDVL:
                 pose_iters=s.max_optim_pose_its,
                 inlier_thresh_px=s.inlier_error_threshold,
                 use_orb=s.use_orb,
-                ransac_key=key, ransac_hypotheses=s.ransac_hypotheses,
+                ransac_key=key,
+                ransac_hypotheses=min(s.ransac_hypotheses, s.max_ransac_its),
+                ransac_points=s.max_ransac_points,
+                patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
+                search_px=float(s.search_size), max_matches=s.max_matches,
+                align_patch_half=s.align_patch_size // 2,
+                orb_radius=s.orb_size // 2,
             )
             m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
             return m, tr
@@ -203,6 +214,8 @@ class SDVL:
                 threshold_converged=s.threshold_converged,
                 max_failed=s.max_failed,
                 use_orb=s.use_orb,
+                patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
+                orb_radius=s.orb_size // 2,
             )
 
         @jax.jit
@@ -216,6 +229,8 @@ class SDVL:
                 n_search_kf=s.max_search_keyframes, max_reobs=s.max_reobs,
                 scale_min_dist=s.scale_min_dist, map_scale=s.map_scale,
                 use_orb=s.use_orb, epipolar_samples=s.epipolar_samples,
+                patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
+                orb_radius=s.orb_size // 2,
             )
 
         @functools.partial(jax.jit, static_argnames=("window", "max_points"))
@@ -228,7 +243,10 @@ class SDVL:
             """Initial match set after bootstrap — jitted: eager dispatch
             over the device tunnel can stall for minutes per op."""
             return matcher.match_map_points(
-                m, intr, pyr, pose, cell=s.cell_size, use_orb=s.use_orb
+                m, intr, pyr, pose, cell=s.cell_size, use_orb=s.use_orb,
+                half=s.patch_size // 2, lk_iters=s.max_align_its,
+                reproj_px=float(s.search_size), max_matches=s.max_matches,
+                orb_radius=s.orb_size // 2,
             )
 
         @jax.jit
@@ -257,15 +275,16 @@ class SDVL:
             KEYFRAME's pyramid, pose and observed points — never the stale
             (lost) previous frame (mirrors device_fsm.do_reloc; reference
             sdvl.cc:217-231 aligns kf -> current)."""
-            ref_pyr = tuple(p[kf] for p in m.kf_pyr)
+            ref_pyr = tuple(p[kf].astype(jnp.float32) for p in m.kf_pyr)
             obs = m.obs_mask[kf] & m.pt_valid
             order = jnp.argsort(~obs)[:n_ref].astype(jnp.int32)
             return ref_pyr, order, obs[order], m.kf_pose[kf]
 
         @jax.jit
         def _prune(m):
-            m = mapper.prune_weak_points(m)
-            return mapper.check_redundant_keyframes(m)
+            # redundant-KF pruning lives in _update_map (every frame,
+            # reference map.cc:121); here only weak-point cleanup post-BA
+            return mapper.prune_weak_points(m)
 
         self._preprocess = _preprocess
         self._update_stats = _update_stats

@@ -40,17 +40,26 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
                 align_min_level: int = 2, align_iters: int = 10,
                 pose_iters: int = 10, inlier_thresh_px: float = 2.0,
                 use_orb: bool = False, ransac_key: jnp.ndarray | None = None,
-                ransac_hypotheses: int = 64,
+                ransac_hypotheses: int = 64, ransac_points: int = 5,
+                patch_half: int = 4, lk_iters: int = 10,
+                search_px: float = 6.0, max_matches: int | None = None,
+                align_patch_half: int = 2, orb_radius: int = 15,
                 ) -> TrackResult:
     """One tracking step (reference sdvl.cc:179-203 + feature_align.cc).
 
     ``last_pt_idx``/``last_ok`` are the previous frame's match set — its
     "features with points" in reference terms — used both for direct
     alignment and as the quality baseline. With ``ransac_key``, matches are
-    additionally gated by a vmapped 5-point pose RANSAC before the robust
-    optimization (reference SelectInliers, feature_align.cc:152-216, with
-    its 2x rescue threshold at :258-283); without a key the Tukey IRLS
-    alone handles outliers.
+    additionally gated by a vmapped pose RANSAC of ``ransac_points``-point
+    minimal sets before the robust optimization (reference SelectInliers,
+    feature_align.cc:152-216 with Config::MaxRansacPoints, and the 2x
+    rescue threshold at :258-283); without a key the Tukey IRLS alone
+    handles outliers.
+
+    Knob mapping to the reference Config: ``patch_half`` = PatchSize/2,
+    ``lk_iters`` = MaxAlignIts, ``search_px`` = SearchSize,
+    ``max_matches`` = MaxMatches, ``align_patch_half`` = AlignPatchSize/2,
+    ``orb_radius`` = ORBSize/2.
     """
     pts_last = m.pt_pos[last_pt_idx]
 
@@ -58,11 +67,14 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
         last_pyr, cur_pyr, intr, pts_last, last_ok & m.pt_valid[last_pt_idx],
         pose_last, pose_pred,
         max_level=align_max_level, min_level=align_min_level,
-        iters=align_iters,
+        iters=align_iters, patch_half=align_patch_half,
     )
 
     mr = matcher.match_map_points(m, intr, cur_pyr, ia.pose, cell=cell,
-                                  use_orb=use_orb)
+                                  use_orb=use_orb, half=patch_half,
+                                  lk_iters=lk_iters, reproj_px=search_px,
+                                  max_matches=max_matches,
+                                  orb_radius=orb_radius)
 
     thresh = inlier_thresh_px / jnp.minimum(intr.fx, intr.fy)
     ok = mr.ok
@@ -71,7 +83,8 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
 
         pose_r = pose_opt.ransac(
             ia.pose, m.pt_pos[mr.pt_idx], mr.uv, ok, ransac_key,
-            n_hyp=ransac_hypotheses, inlier_thresh=thresh,
+            n_hyp=ransac_hypotheses, sample_size=ransac_points,
+            inlier_thresh=thresh,
         )
         p_cam = se3.transform(pose_r, m.pt_pos[mr.pt_idx])
         r = jnp.linalg.norm(

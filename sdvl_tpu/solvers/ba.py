@@ -135,6 +135,87 @@ def _schur_solve(U, V, Wm, b_c, b_p, fixed, lam):
     return dc, dp
 
 
+def _schur_solve_cg(U, V, Wm, b_c, b_p, fixed, lam,
+                    cg_iters: int | None = None):
+    """Matrix-free PCG on the reduced camera system — the large-map path.
+
+    The dense Cholesky in :func:`_schur_solve` materializes S as a
+    (6K, 6K) matrix via an O(P*K^2) einsum; past a couple hundred keyframe
+    slots that einsum dominates both FLOPs and HBM. Here S is never formed:
+    each CG iteration applies
+
+        y_k = (U_k + lam I) x_k - sum_p W_pk V^-1_p (sum_m W_pm^T x_m)
+
+    as three O(P*K) einsums, preconditioned by the exact 6x6 block diagonal
+    of S (block-Jacobi). ``cg_iters`` defaults to ~K (long camera chains
+    need iterations proportional to the graph diameter; an under-converged
+    stage-1 solve makes the outlier gate drop good observations). Even at
+    K iterations the total cost is far below the O(P*K^2) dense build.
+    This is what replaces g2o's sparse-CG solvers (linear_solver_pcg.h)
+    for the TPU: batched einsum matvecs instead of sparse triplet walks.
+    """
+    K = U.shape[0]
+    if cg_iters is None:
+        cg_iters = max(64, K)
+    eye3 = jnp.eye(3, dtype=V.dtype)
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    free = (~fixed).astype(U.dtype)
+
+    V_d = V + (lam + 1e-8) * eye3[None]
+    Vinv = jnp.linalg.inv(V_d)                                 # (P,3,3)
+    WVinv = jnp.einsum("pkij,pjl->pkil", Wm, Vinv)             # (P,K,6,3)
+
+    rhs = (b_c - jnp.einsum("pkil,pl->ki", WVinv, b_p)) * free[:, None]
+
+    U_d = U + (lam + 1e-8) * eye6[None]
+
+    def matvec(x):                                             # x (K,6)
+        x = x * free[:, None]
+        t = jnp.einsum("pkij,ki->pj", Wm, x)                   # (P,3)
+        y = jnp.einsum("kij,kj->ki", U_d, x)
+        y = y - jnp.einsum("pkil,pl->ki", WVinv, t)
+        # fixed cameras act as identity rows (keeps the operator PD)
+        return y * free[:, None] + x * (1.0 - free)[:, None]
+
+    # block-Jacobi preconditioner: exact 6x6 diagonal blocks of S
+    D = U_d - jnp.einsum("pkil,pkjl->kij", WVinv, Wm)          # (K,6,6)
+    D = D * free[:, None, None] + eye6[None] * (1.0 - free)[:, None, None]
+    Dinv = jnp.linalg.inv(D + 1e-8 * eye6[None])
+
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", Dinv, r)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs  # b - A@0
+    z0 = precond(r0)
+
+    def body(_, carry):
+        x, r, z, p, rz = carry
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    x, r, *_ = jax.lax.fori_loop(
+        0, cg_iters, body, (x0, r0, z0, z0, jnp.sum(r0 * z0))
+    )
+    dc = x * free[:, None]
+
+    t = b_p - jnp.einsum("pkij,ki->pj", Wm, dc)
+    dp = jnp.einsum("pij,pj->pi", Vinv, t)
+    return dc, dp
+
+
+# keyframe-slot count above which solve() switches the reduced camera
+# system from dense Cholesky to matrix-free PCG (static shape decision)
+CG_KF_THRESHOLD = 200
+
+
 def _robust_chi2(r, w, huber):
     n2 = jnp.sum(r * r, axis=-1)
     n = jnp.sqrt(jnp.maximum(n2, 0.0))
@@ -143,16 +224,27 @@ def _robust_chi2(r, w, huber):
 
 
 def solve(problem: BAProblem, huber: float, stage_iters=(5, 10),
-          gate_thresh: float | None = None) -> BAResult:
+          gate_thresh: float | None = None,
+          method: str | None = None) -> BAResult:
     """Two-stage Levenberg-Marquardt with Schur elimination.
 
     ``huber`` and ``gate_thresh`` are in unit-plane units (pixels / focal).
     Stage 1 optimizes with all observations; observations whose squared
     error exceeds ``gate_thresh**2`` (or with negative depth) are then
     removed, and stage 2 re-optimizes — mirroring bundle.cc:192-209.
+
+    ``method``: "chol" (dense Cholesky on the (6K,6K) reduced system) or
+    "cg" (matrix-free block-Jacobi PCG, :func:`_schur_solve_cg`). Default
+    picks by the static keyframe capacity: Cholesky up to
+    ``CG_KF_THRESHOLD`` slots, CG beyond — so Zurich-scale maps
+    (max_keyframes up to 1000, reference config_zurich.cfg) never build
+    the dense reduced system.
     """
     if gate_thresh is None:
         gate_thresh = huber
+    if method is None:
+        method = "cg" if problem.poses.shape[0] > CG_KF_THRESHOLD else "chol"
+    schur = _schur_solve if method == "chol" else _schur_solve_cg
 
     def lm_run(poses, points, w_mask, iters):
         def body(_, carry):
@@ -160,7 +252,7 @@ def solve(problem: BAProblem, huber: float, stage_iters=(5, 10),
             r, _, w0 = _residuals(poses, points, problem.obs_uv, w_mask)
             w = _robust_weights(r, w0, huber)
             U, V, Wm, b_c, b_p = _build_system(poses, points, r, w)
-            dc, dp = _schur_solve(U, V, Wm, b_c, b_p, problem.fixed, lam)
+            dc, dp = schur(U, V, Wm, b_c, b_p, problem.fixed, lam)
             new_poses = se3.boxplus(poses, -dc)
             new_points = points - dp
             r2, _, w2 = _residuals(new_poses, new_points, problem.obs_uv, w_mask)

@@ -23,7 +23,7 @@ from ..core import camera as cam
 from ..core import geometry, se3
 from ..ops import interp
 
-PATCH_HALF = 2  # 4x4 patches, reference image_align.h patch size
+PATCH_HALF = 2  # 4x4 patches, reference Config::AlignPatchSize = 4 default
 
 
 class ImageAlignResult(NamedTuple):
@@ -35,10 +35,11 @@ class ImageAlignResult(NamedTuple):
 def _level_align(pyr_ref_l: jnp.ndarray, pyr_cur_l: jnp.ndarray, intr,
                  level: int, pts_w: jnp.ndarray, valid: jnp.ndarray,
                  pose_ref: jnp.ndarray, pose_init: jnp.ndarray,
-                 iters: int):
+                 iters: int, patch_half: int = PATCH_HALF):
     """One pyramid level of inverse-compositional GN. Returns (pose, chi2, n)."""
     scale = 1.0 / (1 << level)
     N = pts_w.shape[0]
+    PATCH_HALF = patch_half  # reference Config::AlignPatchSize // 2
     s = 2 * PATCH_HALF
 
     # --- Precompute reference patches + Jacobians (image_align.cc:208-267) ---
@@ -118,7 +119,8 @@ def compute_pose(pyr_ref: Sequence[jnp.ndarray], pyr_cur: Sequence[jnp.ndarray],
                  intr, pts_w: jnp.ndarray, valid: jnp.ndarray,
                  pose_ref: jnp.ndarray, pose_init: jnp.ndarray,
                  max_level: int = 4, min_level: int = 2,
-                 iters: int = 10) -> ImageAlignResult:
+                 iters: int = 10,
+                 patch_half: int = PATCH_HALF) -> ImageAlignResult:
     """Coarse-to-fine direct alignment (reference image_align.cc:46-84:
     levels 4..2, 30 GN iterations; we default to 10 per level which matches
     its practical convergence).
@@ -132,6 +134,6 @@ def compute_pose(pyr_ref: Sequence[jnp.ndarray], pyr_cur: Sequence[jnp.ndarray],
     for level in range(max_level, min_level - 1, -1):
         pose, chi2, n = _level_align(
             pyr_ref[level], pyr_cur[level], intr, level,
-            pts_w, valid, pose_ref, pose, iters,
+            pts_w, valid, pose_ref, pose, iters, patch_half=patch_half,
         )
     return ImageAlignResult(pose=pose, error=chi2, n_used=n)

@@ -49,7 +49,13 @@ class MapState(NamedTuple):
     kf_pose: jnp.ndarray           # (K, 7)
     kf_valid: jnp.ndarray          # (K,) bool
     kf_frame_id: jnp.ndarray       # (K,) int32 (age/order; -1 empty)
-    kf_pyr: Tuple[jnp.ndarray, ...]  # per level (K, H/2^l, W/2^l) f32
+    kf_pyr: Tuple[jnp.ndarray, ...]  # per level (K, H/2^l, W/2^l) uint8
+                                   #   (the reference stores 8U cv::Mat
+                                   #   pyramids, frame.cc:114-120; u8 at
+                                   #   rest is 4x less HBM than f32 — at
+                                   #   max_keyframes=1000 (Zurich preset)
+                                   #   the store would otherwise be ~1.6 GB.
+                                   #   Samplers convert at gather time.)
 
     # --- dense observation structure ---
     obs_mask: jnp.ndarray          # (K, P) bool
@@ -91,11 +97,20 @@ class MapState(NamedTuple):
         return K, P, C
 
 
+def store_pyramid(pyr):
+    """Quantize a float pyramid for the keyframe store (uint8, like the
+    reference's 8U Mats). Rounding, not truncation — keeps LK/ZMSSD patch
+    reads centered on the measured intensity."""
+    return tuple(
+        jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8) for p in pyr
+    )
+
+
 def empty_map(n_kf: int, n_pts: int, n_cand: int, img_shape: Tuple[int, int],
               levels: int) -> MapState:
     H, W = img_shape
     pyr = tuple(
-        jnp.zeros((n_kf, H >> l, W >> l), jnp.float32) for l in range(levels)
+        jnp.zeros((n_kf, H >> l, W >> l), jnp.uint8) for l in range(levels)
     )
     return MapState(
         kf_pose=se3.identity((n_kf,)),

@@ -20,7 +20,7 @@ from sdvl_tpu.io.synthetic import (MultiPlaneScene, PlaneScene, _np_se3_exp,
 from sdvl_tpu.ops import pyramid
 from sdvl_tpu.pipeline import depth_filter, mapper, matcher
 from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
-from sdvl_tpu.state.map_state import empty_map
+from sdvl_tpu.state.map_state import empty_map, store_pyramid
 
 W, H = 320, 240
 INTR = camera.Intrinsics.create(210.0, 210.0, 159.5, 119.5, width=W, height=H)
@@ -70,8 +70,9 @@ def _seed_two_kf_map(scene, poses, pts, n_pts_cap=128):
                   levels=LEVELS)
     kf_pyr = tuple(
         lvl.at[0].set(p0).at[1].set(p1)
-        for lvl, p0, p1 in zip(m.kf_pyr, _pyr(scene.render(pose0)),
-                               _pyr(scene.render(pose1)))
+        for lvl, p0, p1 in zip(m.kf_pyr,
+                               store_pyramid(_pyr(scene.render(pose0))),
+                               store_pyramid(_pyr(scene.render(pose1))))
     )
     px0, _ = _project_np(pose0, pts)
     px1, _ = _project_np(pose1, pts)
@@ -160,8 +161,9 @@ def test_triangulated_seeding_recenters_depth():
                   levels=LEVELS)
     kf_pyr = tuple(
         lvl.at[0].set(p0).at[1].set(p1)
-        for lvl, p0, p1 in zip(m.kf_pyr, _pyr(scene.render(pose0)),
-                               _pyr(scene.render(pose1)))
+        for lvl, p0, p1 in zip(m.kf_pyr,
+                               store_pyramid(_pyr(scene.render(pose0))),
+                               store_pyramid(_pyr(scene.render(pose1))))
     )
     # shared observations so KF0 is covisible with KF1 (best_connections)
     pts = np.array([[0.0, 0.0, 6.0], [0.5, 0.3, 6.0], [-0.6, 0.4, 6.0],

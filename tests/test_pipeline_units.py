@@ -108,8 +108,10 @@ def test_load_reference_config():
 def test_seed_and_promote_candidates():
     m = empty_map(n_kf=4, n_pts=16, n_cand=8, img_shape=(128, 160), levels=3)
     pyr = tuple(jnp.zeros((128 >> l, 160 >> l)) for l in range(3))
+    from sdvl_tpu.state.map_state import store_pyramid
     kf_pyr = tuple(
-        lvl.at[0].set(img) for lvl, img in zip(m.kf_pyr, pyr)
+        lvl.at[0].set(img)
+        for lvl, img in zip(m.kf_pyr, store_pyramid(pyr))
     )
     m = m._replace(
         kf_valid=m.kf_valid.at[0].set(True),
