@@ -50,6 +50,12 @@ def main(argv=None):
                     help="resume from a session checkpoint")
     ap.add_argument("--viz", default=None, metavar="DIR",
                     help="write feature-overlay and map PNGs here")
+    ap.add_argument("--live", action="store_true",
+                    help="interactive viewer: tracking overlay + 3D map "
+                         "windows at 10 Hz (the reference's UI thread, "
+                         "main.cc:38-87; keys: f follow, space pause, "
+                         "q quit; mouse orbits, wheel zooms). Needs a "
+                         "display; host driver only")
     ap.add_argument("--viz-every", type=int, default=10)
     ap.add_argument("--async-mapping", action="store_true",
                     help="run the mapper on its own thread (the reference's "
@@ -154,6 +160,20 @@ def main(argv=None):
 
         recorder = VizRecorder(args.viz, every=args.viz_every)
 
+    live_ui = None
+    if args.live:
+        if args.stream:
+            print("[WARN] --live needs per-frame host state; ignored "
+                  "with --stream (use --viz for post-run rendering)")
+        else:
+            from ..viz import LiveUI
+
+            if LiveUI.available():
+                live_ui = LiveUI()
+            else:
+                print("[WARN] --live: no display/cv2 GUI available; "
+                      "running headless (use --viz DIR instead)")
+
     times = []
     frame_states = {}
     n = 0
@@ -164,6 +184,9 @@ def main(argv=None):
         frame_states[info["frame_id"]] = info["state"]
         if recorder is not None:
             recorder.record(slam, img, info)
+        if live_ui is not None:
+            info["quality"] = slam.quality.name
+            live_ui.update(slam, img, info)
         dt = (time.perf_counter() - t0) * 1e3
         times.append(dt)
         stamps.append(n / cfg.video.fps)
@@ -176,7 +199,12 @@ def main(argv=None):
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
+        if live_ui is not None and live_ui.quit_requested:
+            print("[INFO] quit requested from viewer")
+            break
 
+    if live_ui is not None:
+        live_ui.stop()
     if async_mapper is not None:
         async_mapper.stop()
 

@@ -9,3 +9,4 @@ files: per-frame feature overlays, and map/trajectory figures.
 from .overlay import draw_frame_overlay  # noqa: F401
 from .scene import plot_map, plot_trajectory  # noqa: F401
 from .recorder import VizRecorder, render_stream_session  # noqa: F401
+from .live import LiveUI, Viewpoint, render_scene_view  # noqa: F401
