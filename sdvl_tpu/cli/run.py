@@ -34,6 +34,9 @@ def main(argv=None):
                          "groundtruth.txt enables in-run ATE). The moment a "
                          "dataset directory exists, --config configs/tum_f1"
                          ".cfg --tum <dir> runs it end-to-end.")
+    ap.add_argument("--euroc", default=None, metavar="SEQ_DIR",
+                    help="EuRoC MAV sequence directory (mav0/cam0/data.csv; "
+                         "state_groundtruth_estimate0 enables in-run ATE)")
     ap.add_argument("--filename", default="files.txt")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of a dataset")
@@ -100,21 +103,28 @@ def main(argv=None):
         poses = scene.trajectory(args.synthetic, translation_amp=1.0)
         gt_poses = np.stack(poses)
         frames = (scene.render(p) for p in poses)
-    elif args.tum:
+    elif args.tum or args.euroc:
         if not args.config:
-            ap.error("--config required with --tum")
+            ap.error("--config required with --tum/--euroc")
         cfg = load_cfg(args.config)
-        from ..io.dataset import tum_rgb_source
+        from ..io import dataset as ds
 
-        tum_stamps: list = []
+        if args.tum:
+            source = ds.tum_rgb_source(args.tum)
+            args._seq_gt = _maybe(ds.load_tum_groundtruth, args.tum)
+        else:
+            source = ds.euroc_source(args.euroc)
+            args._seq_gt = _maybe(ds.load_euroc_groundtruth, args.euroc)
 
-        def _tum_frames():
-            for ts, img in tum_rgb_source(args.tum):
-                tum_stamps.append(ts)
+        seq_stamps: list = []
+
+        def _seq_frames():
+            for ts, img in source:
+                seq_stamps.append(ts)
                 yield img
 
-        frames = _tum_frames()
-        args._tum_stamps = tum_stamps
+        frames = _seq_frames()
+        args._seq_stamps = seq_stamps
     else:
         if not args.config:
             ap.error("--config required unless --synthetic")
@@ -232,14 +242,14 @@ def main(argv=None):
         summary["ate_rmse"] = _ate_vs_gt(
             traj, gt_poses[np.clip(traj_ids, 0, len(gt_poses) - 1)], tracked
         )
-    if args.tum:
-        stamps = list(args._tum_stamps[:n])
+    if args.tum or args.euroc:
+        stamps = list(args._seq_stamps[:n])
         if len(traj) and not args.resume:
             tracked = np.asarray([
                 frame_states.get(int(fid)) == "RUNNING" for fid in traj_ids
             ])
-            summary["ate_rmse_gt"] = _ate_vs_tum_gt(
-                args.tum, np.asarray(stamps)[np.clip(traj_ids, 0, n - 1)],
+            summary["ate_rmse_gt"] = _ate_vs_seq_gt(
+                args._seq_gt, np.asarray(stamps)[np.clip(traj_ids, 0, n - 1)],
                 traj, tracked,
             )
     print(json.dumps(summary))
@@ -263,16 +273,24 @@ def main(argv=None):
     return 0
 
 
-def _ate_vs_tum_gt(seq_dir, stamps, traj_wc, tracked=None):
-    """Sim(3)-aligned ATE against a TUM groundtruth.txt, associating by
-    nearest timestamp (the external TUM tooling's method — the reference
-    had no in-repo evaluation, SURVEY.md §6)."""
-    from ..io import evaluate
-    from ..io.dataset import load_tum_groundtruth
-
-    if not os.path.exists(os.path.join(seq_dir, "groundtruth.txt")):
+def _maybe(loader, seq_dir):
+    """Ground truth is optional in both dataset formats."""
+    try:
+        gt = loader(seq_dir)
+        return gt if len(gt) else None
+    except (OSError, ValueError):
         return None
-    gt = load_tum_groundtruth(seq_dir)
+
+
+def _ate_vs_seq_gt(gt, stamps, traj_wc, tracked=None):
+    """Sim(3)-aligned ATE against dataset ground truth rows
+    [t, tx, ty, tz, qx, qy, qz, qw], associating by nearest timestamp (the
+    external TUM tooling's method — the reference had no in-repo
+    evaluation, SURVEY.md §6)."""
+    from ..io import evaluate
+
+    if gt is None:
+        return None
     stamps = np.asarray(stamps, np.float64)
     traj_wc = np.asarray(traj_wc)
     if tracked is not None and tracked.any():
@@ -409,10 +427,10 @@ def _run_stream(args, cfg, frames, gt_poses=None):
             traj[:k], gt_poses[:k],
             tracked=np.asarray(r.states)[:k] == 2,
         )
-    if args.tum and r.n_frames and not args.resume:
-        k = min(r.n_frames, len(args._tum_stamps))
-        summary["ate_rmse_gt"] = _ate_vs_tum_gt(
-            args.tum, np.asarray(args._tum_stamps[:k]), traj[:k],
+    if (args.tum or args.euroc) and r.n_frames and not args.resume:
+        k = min(r.n_frames, len(args._seq_stamps))
+        summary["ate_rmse_gt"] = _ate_vs_seq_gt(
+            args._seq_gt, np.asarray(args._seq_stamps[:k]), traj[:k],
             tracked=np.asarray(r.states)[:k] == 2,
         )
     print(json.dumps(summary))
@@ -430,8 +448,8 @@ def _run_stream(args, cfg, frames, gt_poses=None):
     if args.output:
         from ..io.dataset import save_tum_trajectory
 
-        if args.tum:
-            stamps = list(args._tum_stamps[: r.n_frames])
+        if args.tum or args.euroc:
+            stamps = list(args._seq_stamps[: r.n_frames])
         else:
             stamps = [i / cfg.video.fps for i in range(r.n_frames)]
         save_tum_trajectory(args.output, stamps, traj)

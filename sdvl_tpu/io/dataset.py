@@ -90,6 +90,45 @@ def load_tum_groundtruth(seq_dir: str) -> np.ndarray:
     return np.asarray(rows)
 
 
+def euroc_source(seq_dir: str, cam: str = "cam0"
+                 ) -> Iterator[Tuple[float, np.ndarray]]:
+    """EuRoC MAV format: ``mav0/<cam>/data.csv`` rows of
+    `timestamp_ns,filename` with images under ``mav0/<cam>/data/``.
+    Yields (seconds, grayscale image). ``seq_dir`` may point at the
+    sequence root or directly at ``mav0``."""
+    root = seq_dir
+    if os.path.isdir(os.path.join(seq_dir, "mav0")):
+        root = os.path.join(seq_dir, "mav0")
+    camdir = os.path.join(root, cam)
+    with open(os.path.join(camdir, "data.csv")) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            ts_ns, name = line.strip().split(",")[:2]
+            yield float(ts_ns) * 1e-9, _imread_gray(
+                os.path.join(camdir, "data", name))
+
+
+def load_euroc_groundtruth(seq_dir: str) -> np.ndarray:
+    """(N, 8) rows of [t_sec, tx, ty, tz, qx, qy, qz, qw] from the EuRoC
+    ``state_groundtruth_estimate0/data.csv`` (stored there as
+    t_ns, p_xyz, q_wxyz — reordered here to the TUM layout so one ATE path
+    serves both formats)."""
+    root = seq_dir
+    if os.path.isdir(os.path.join(seq_dir, "mav0")):
+        root = os.path.join(seq_dir, "mav0")
+    path = os.path.join(root, "state_groundtruth_estimate0", "data.csv")
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            v = [float(x) for x in line.strip().split(",")[:8]]
+            t, px, py, pz, qw, qx, qy, qz = v
+            rows.append([t * 1e-9, px, py, pz, qx, qy, qz, qw])
+    return np.asarray(rows)
+
+
 def save_tum_trajectory(path: str, stamps, poses_wc) -> None:
     """Write a TUM-format trajectory (cam->world, x y z qx qy qz qw) —
     the format every external ATE tool expects. The reference has no
