@@ -26,7 +26,8 @@ import numpy as np  # noqa: E402
 
 
 def run(n_devices: int, streams_per_device: int = 1,
-        n_warm: int = 12, n_timed: int = 48, size=(320, 240), mesh=None):
+        n_warm: int = 12, n_timed: int = 48, size=(320, 240), mesh=None,
+        chunk: int = 1):
     import jax  # noqa: E402
 
     from sdvl_tpu.dist.mesh import make_mesh
@@ -57,13 +58,33 @@ def run(n_devices: int, streams_per_device: int = 1,
                                    translation_amp=1.0 + 0.05 * i)]
         for i in range(B)
     ]
-    for t in range(n_warm):
-        ms.feed(np.stack([s[t] for s in seqs]))
-    ms.block()
-    t0 = time.perf_counter()
-    for t in range(n_warm, n_warm + n_timed):
-        ms.feed(np.stack([s[t] for s in seqs]))
-    ms.block()
+    if chunk > 1:  # round phases up to whole chunks
+        n_warm = -(-n_warm // chunk) * chunk
+        n_timed = -(-n_timed // chunk) * chunk
+        seqs = [
+            [np.clip(scene.render(p), 0, 255).astype(np.uint8)
+             for p in scene.trajectory(n_warm + n_timed,
+                                       translation_amp=1.0 + 0.05 * i)]
+            for i in range(B)
+        ]
+    batches = [np.stack([s[t] for s in seqs])
+               for t in range(n_warm + n_timed)]  # (N, H, W) per t
+    if chunk > 1:
+        for t in range(0, n_warm, chunk):
+            ms.feed_chunk(np.stack(batches[t : t + chunk]))
+        ms.block()
+        t0 = time.perf_counter()
+        for t in range(n_warm, n_warm + n_timed, chunk):
+            ms.feed_chunk(np.stack(batches[t : t + chunk]))
+        ms.block()
+    else:
+        for t in range(n_warm):
+            ms.feed(batches[t])
+        ms.block()
+        t0 = time.perf_counter()
+        for t in range(n_warm, n_warm + n_timed):
+            ms.feed(batches[t])
+        ms.block()
     dt = time.perf_counter() - t0
     return B * n_timed / dt
 
@@ -159,22 +180,24 @@ def _single_ref():
     }), flush=True)
 
 
-def main():
+def main(streams_per_device: int = 1, chunk: int = 1):
     import jax
 
     n_avail = len(jax.devices())
     sizes = sorted({1, max(1, n_avail // 2), n_avail})
     base = None
     for d in sizes:
-        fps = run(d)
+        fps = run(d, streams_per_device=streams_per_device, chunk=chunk)
+        s = d * streams_per_device
         if base is None:
             base = fps
         print(json.dumps({
             "metric": "multistream_fps",
             "devices": d,
-            "streams": d,
+            "streams": s,
+            "chunk": chunk,
             "value": round(fps, 2),
-            "per_stream": round(fps / d, 2),
+            "per_stream": round(fps / s, 2),
             "efficiency": round(fps / (base * d), 3),
         }))
 
@@ -186,6 +209,11 @@ if __name__ == "__main__":
     ap.add_argument("--multihost", type=int, default=0, metavar="N_PROC",
                     help="run the multi-process (DCN-standin) scaling bench")
     ap.add_argument("--devs-per-proc", type=int, default=2)
+    ap.add_argument("--streams-per-device", type=int, default=1,
+                    help="serving density: concurrent sessions per device")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per fused launch (lax.scan inside the "
+                         "shard; amortizes dispatch like cli --chunk)")
     ap.add_argument("--single-ref", action="store_true")
     ap.add_argument("--mh-worker-id", type=int, default=None)
     ap.add_argument("--mh-nproc", type=int)
@@ -199,4 +227,4 @@ if __name__ == "__main__":
     elif a.multihost:
         _multihost_parent(a.multihost, a.devs_per_proc)
     else:
-        main()
+        main(streams_per_device=a.streams_per_device, chunk=a.chunk)

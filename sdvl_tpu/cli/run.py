@@ -110,20 +110,17 @@ def main(argv=None):
         from ..io import dataset as ds
 
         if args.tum:
-            source = ds.tum_rgb_source(args.tum)
+            seq_stamps, paths = ds.tum_rgb_index(args.tum)
             args._seq_gt = _maybe(ds.load_tum_groundtruth, args.tum)
         else:
-            source = ds.euroc_source(args.euroc)
+            seq_stamps, paths = ds.euroc_index(args.euroc)
             args._seq_gt = _maybe(ds.load_euroc_groundtruth, args.euroc)
 
-        seq_stamps: list = []
+        # decode through the native prefetching loader (frame_loader.cc)
+        from ..io.native_loader import frame_source
 
-        def _seq_frames():
-            for ts, img in source:
-                seq_stamps.append(ts)
-                yield img
-
-        frames = _seq_frames()
+        frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
+                              prefer_native=not args.no_native_loader)
         args._seq_stamps = seq_stamps
     else:
         if not args.config:
@@ -239,19 +236,19 @@ def main(argv=None):
         tracked = np.asarray([
             frame_states.get(int(fid)) == "RUNNING" for fid in traj_ids
         ]) & in_gt
-        summary["ate_rmse"] = _ate_vs_gt(
+        summary.update(_ate_vs_gt(
             traj, gt_poses[np.clip(traj_ids, 0, len(gt_poses) - 1)], tracked
-        )
+        ))
     if args.tum or args.euroc:
         stamps = list(args._seq_stamps[:n])
         if len(traj) and not args.resume:
             tracked = np.asarray([
                 frame_states.get(int(fid)) == "RUNNING" for fid in traj_ids
             ])
-            summary["ate_rmse_gt"] = _ate_vs_seq_gt(
+            summary.update(_ate_vs_seq_gt(
                 args._seq_gt, np.asarray(stamps)[np.clip(traj_ids, 0, n - 1)],
                 traj, tracked,
-            )
+            ))
     print(json.dumps(summary))
 
     if args.trace:
@@ -290,17 +287,31 @@ def _ate_vs_seq_gt(gt, stamps, traj_wc, tracked=None):
     from ..io import evaluate
 
     if gt is None:
-        return None
+        return {}
     stamps = np.asarray(stamps, np.float64)
     traj_wc = np.asarray(traj_wc)
     if tracked is not None and tracked.any():
         stamps, traj_wc = stamps[tracked], traj_wc[tracked]
     ia, ib = evaluate.associate(stamps, gt[:, 0])
     if len(ia) < 3:
-        return None
+        return {}
     p_est = evaluate.positions_from_poses(traj_wc[ia])
     p_gt = gt[ib, 1:4]
-    return round(evaluate.ate_rmse(p_est, p_gt, with_scale=True), 4)
+    ate, rpe = _aligned_scores(p_est, p_gt)
+    return {"ate_rmse_gt": ate, "rpe_gt": rpe}
+
+
+def _aligned_scores(p_est, p_gt):
+    """Sim(3)-aligned ATE RMSE + frame-to-frame RPE (drift) RMSE. The
+    alignment (incl. scale — monocular gauge) happens once; RPE is computed
+    on the aligned track like the TUM tooling's rpe.py."""
+    from ..io import evaluate
+
+    s, R, t = evaluate.umeyama(p_est, p_gt, with_scale=True)
+    aligned = (s * (R @ p_est.T)).T + t
+    ate = float(np.sqrt(np.mean(
+        np.linalg.norm(aligned - p_gt, axis=1) ** 2)))
+    return round(ate, 4), round(evaluate.rpe(aligned, p_gt), 4)
 
 
 def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
@@ -316,10 +327,11 @@ def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
     if tracked is not None and tracked.any():
         traj_wc, gt_wc = traj_wc[tracked], gt_wc[tracked]
     if len(traj_wc) < 3:
-        return None
+        return {}
     p_est = evaluate.positions_from_poses(traj_wc)
     p_gt = evaluate.positions_from_poses(gt_wc)
-    return round(evaluate.ate_rmse(p_est, p_gt, with_scale=True), 4)
+    ate, rpe = _aligned_scores(p_est, p_gt)
+    return {"ate_rmse": ate, "rpe": rpe}
 
 
 def _apply_global_ba(slam, cfg, traj, traj_ids):
@@ -357,6 +369,17 @@ def _run_stream(args, cfg, frames, gt_poses=None):
     from ..pipeline.stream import STATE_NAMES, SdvlStream
 
     slam = SdvlStream(cfg)
+
+    def _u8(img):
+        # uint8 on the wire: 4x fewer host->device bytes than f32 (the
+        # dominant per-frame transfer) and ONE jit dtype key regardless of
+        # which reader produced the frame
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = np.round(np.clip(img, 0, 255)).astype(np.uint8)
+        return img
+
+    frames = map(_u8, frames)
     keep_frames = [] if args.viz else None
     if args.resume:
         from ..io.snapshot import load_stream_snapshot
@@ -423,16 +446,16 @@ def _run_stream(args, cfg, frames, gt_poses=None):
     }
     if gt_poses is not None and r.n_frames and not args.resume:
         k = min(r.n_frames, len(gt_poses))
-        summary["ate_rmse"] = _ate_vs_gt(
+        summary.update(_ate_vs_gt(
             traj[:k], gt_poses[:k],
             tracked=np.asarray(r.states)[:k] == 2,
-        )
+        ))
     if (args.tum or args.euroc) and r.n_frames and not args.resume:
         k = min(r.n_frames, len(args._seq_stamps))
-        summary["ate_rmse_gt"] = _ate_vs_seq_gt(
+        summary.update(_ate_vs_seq_gt(
             args._seq_gt, np.asarray(args._seq_stamps[:k]), traj[:k],
             tracked=np.asarray(r.states)[:k] == 2,
-        )
+        ))
     print(json.dumps(summary))
     if args.viz:
         from ..viz import render_stream_session

@@ -94,10 +94,25 @@ class MultiStream:
             return (_stack_states(ms), _stack_states(cs),
                     _stack_states(infos))
 
+        def sharded_chunk(m, carry, imgs):
+            # imgs local (T, local, H, W): lax.scan over time inside the
+            # shard — one launch per T-frame batch across all local streams
+            def body(mc, imgs_t):
+                m, c = mc
+                m, c, info = sharded_step(m, c, imgs_t)
+                return (m, c), info
+
+            (m, carry), infos = jax.lax.scan(body, (m, carry), imgs)
+            return m, carry, infos
+
         specs_m = jax.tree_util.tree_map(lambda _: P(axis), self.m)
         specs_c = jax.tree_util.tree_map(lambda _: P(axis), self.carry)
         out_info_spec = jax.tree_util.tree_map(
             lambda _: P(axis),
+            FrameInfo(*([0] * len(FrameInfo._fields))),
+        )
+        out_chunk_spec = jax.tree_util.tree_map(
+            lambda _: P(None, axis),
             FrameInfo(*([0] * len(FrameInfo._fields))),
         )
         self._step = jax.jit(
@@ -109,16 +124,39 @@ class MultiStream:
             ),
             donate_argnums=(0, 1),
         )
-        self._infos: List[FrameInfo] = []
+        self._chunk_step = jax.jit(
+            jax.shard_map(
+                sharded_chunk, mesh=mesh,
+                in_specs=(specs_m, specs_c, P(None, axis)),
+                out_specs=(specs_m, specs_c, out_chunk_spec),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+        # entries: (is_chunk, FrameInfo with leaves (N, ...) or (T, N, ...))
+        self._infos: List[tuple] = []
 
     def feed(self, imgs: np.ndarray, block: bool = False) -> FrameInfo:
         """Process one frame per stream: ``imgs`` is (N, H, W)."""
         imgs = np.asarray(imgs)[:, : self.crop_h, : self.crop_w]
         self.m, self.carry, info = self._step(self.m, self.carry, imgs)
-        self._infos.append(info)
+        self._infos.append((False, info))
         if block:
             jax.block_until_ready(info.pose)
         return info
+
+    def feed_chunk(self, imgs: np.ndarray, block: bool = False) -> FrameInfo:
+        """Process T frames per stream in ONE launch: ``imgs`` is
+        (T, N, H, W). The scan runs inside the shard, so dispatch cost
+        amortizes over T like SdvlStream.feed_chunk does for one stream."""
+        imgs = np.asarray(imgs)[:, :, : self.crop_h, : self.crop_w]
+        self.m, self.carry, infos = self._chunk_step(
+            self.m, self.carry, imgs
+        )
+        self._infos.append((True, infos))
+        if block:
+            jax.block_until_ready(infos.pose)
+        return infos
 
     def block(self):
         jax.block_until_ready(self.carry.pose)
@@ -126,9 +164,16 @@ class MultiStream:
     def result(self, stream: int | None = None):
         """Pull all frames' infos (ONE transfer). Returns a list of
         per-stream SlamResult, or a single one if ``stream`` given."""
-        host = jax.device_get(self._infos)  # T entries of FrameInfo (N, ...)
+        host = jax.device_get([info for _, info in self._infos])
+        parts = [
+            info if is_chunk else jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[None], info
+            )
+            for (is_chunk, _), info in zip(self._infos, host)
+        ]  # every part (t, N, ...)
         stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs, axis=0), *host
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *parts,
         )  # (T, N, ...)
         results = []
         for i in range(self.n):

@@ -64,8 +64,10 @@ def camera_source(device: int = 0, width: Optional[int] = None,
         cap.release()
 
 
-def tum_rgb_source(seq_dir: str) -> Iterator[Tuple[float, np.ndarray]]:
-    """TUM RGB-D format: ``rgb.txt`` with `timestamp filename` rows."""
+def tum_rgb_index(seq_dir: str):
+    """(stamps, absolute image paths) from a TUM ``rgb.txt`` — the path
+    list feeds the native prefetching loader (io.native_loader)."""
+    stamps, paths = [], []
     with open(os.path.join(seq_dir, "rgb.txt")) as f:
         for line in f:
             if line.startswith("#"):
@@ -73,8 +75,16 @@ def tum_rgb_source(seq_dir: str) -> Iterator[Tuple[float, np.ndarray]]:
             parts = line.split()
             if len(parts) < 2:
                 continue
-            ts, rel = float(parts[0]), parts[1]
-            yield ts, _imread_gray(os.path.join(seq_dir, rel))
+            stamps.append(float(parts[0]))
+            paths.append(os.path.join(seq_dir, parts[1]))
+    return stamps, paths
+
+
+def tum_rgb_source(seq_dir: str) -> Iterator[Tuple[float, np.ndarray]]:
+    """TUM RGB-D format: ``rgb.txt`` with `timestamp filename` rows."""
+    stamps, paths = tum_rgb_index(seq_dir)
+    for ts, p in zip(stamps, paths):
+        yield ts, _imread_gray(p)
 
 
 def load_tum_groundtruth(seq_dir: str) -> np.ndarray:
@@ -90,23 +100,32 @@ def load_tum_groundtruth(seq_dir: str) -> np.ndarray:
     return np.asarray(rows)
 
 
-def euroc_source(seq_dir: str, cam: str = "cam0"
-                 ) -> Iterator[Tuple[float, np.ndarray]]:
-    """EuRoC MAV format: ``mav0/<cam>/data.csv`` rows of
-    `timestamp_ns,filename` with images under ``mav0/<cam>/data/``.
-    Yields (seconds, grayscale image). ``seq_dir`` may point at the
-    sequence root or directly at ``mav0``."""
+def euroc_index(seq_dir: str, cam: str = "cam0"):
+    """(stamps_sec, absolute image paths) from an EuRoC ``data.csv``.
+    ``seq_dir`` may point at the sequence root or directly at ``mav0``."""
     root = seq_dir
     if os.path.isdir(os.path.join(seq_dir, "mav0")):
         root = os.path.join(seq_dir, "mav0")
     camdir = os.path.join(root, cam)
+    stamps, paths = [], []
     with open(os.path.join(camdir, "data.csv")) as f:
         for line in f:
             if line.startswith("#") or not line.strip():
                 continue
             ts_ns, name = line.strip().split(",")[:2]
-            yield float(ts_ns) * 1e-9, _imread_gray(
-                os.path.join(camdir, "data", name))
+            stamps.append(float(ts_ns) * 1e-9)
+            paths.append(os.path.join(camdir, "data", name))
+    return stamps, paths
+
+
+def euroc_source(seq_dir: str, cam: str = "cam0"
+                 ) -> Iterator[Tuple[float, np.ndarray]]:
+    """EuRoC MAV format: ``mav0/<cam>/data.csv`` rows of
+    `timestamp_ns,filename` with images under ``mav0/<cam>/data/``.
+    Yields (seconds, grayscale image)."""
+    stamps, paths = euroc_index(seq_dir, cam)
+    for ts, p in zip(stamps, paths):
+        yield ts, _imread_gray(p)
 
 
 def load_euroc_groundtruth(seq_dir: str) -> np.ndarray:

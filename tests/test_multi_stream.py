@@ -58,3 +58,22 @@ def test_stream_zero_matches_single_session(multi_run):
     np.testing.assert_array_equal(results[0].states, solo.states)
     np.testing.assert_allclose(results[0].trajectory, solo.trajectory,
                                atol=1e-4)
+
+
+def test_feed_chunk_matches_per_frame(multi_run):
+    """feed_chunk (lax.scan inside the shard) == per-frame feeds: same
+    states and trajectories, mixed per-frame and chunked feeding allowed."""
+    cfg, seqs, results = multi_run
+    mesh = make_mesh(2, axis="stream")
+    ms = MultiStream(cfg, mesh, n_streams=2, seed=0)
+    n = len(seqs[0])
+    batches = [np.stack([seqs[0][t], seqs[1][t]]) for t in range(n)]
+    # 6 per-frame feeds, then two 6-frame chunks
+    for t in range(6):
+        ms.feed(batches[t])
+    ms.feed_chunk(np.stack(batches[6:12]))
+    ms.feed_chunk(np.stack(batches[12:18]))
+    chunked = ms.result()
+    for rc, rf in zip(chunked, results):
+        np.testing.assert_array_equal(rc.states, rf.states)
+        np.testing.assert_allclose(rc.trajectory, rf.trajectory, atol=1e-4)

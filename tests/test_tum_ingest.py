@@ -189,6 +189,7 @@ def test_cli_tum_end_to_end(tum_fixture, tmp_path):
     assert summary["keyframes"] >= 2
     ate = summary["ate_rmse_gt"]
     assert ate is not None, summary
+    assert summary["rpe_gt"] >= 0.0, summary  # drift metric reported too
     p_gt = np.stack([_np_se3_inverse(p)[4:] for p in poses])
     extent = float(np.linalg.norm(np.ptp(p_gt, axis=0)))
     assert ate < 0.03 * max(extent, 1e-6), (ate, extent)
