@@ -84,14 +84,28 @@ def vogiatzis_update(rho, sigma2, a, b, x, tau2, rho_range):
 def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                       n_samples: int = 32, max_failed: int = 15,
                       use_orb: bool = False, patch_half: int = 4,
-                      lk_iters: int = 8, orb_radius: int = 15) -> MapState:
+                      lk_iters: int = 8, orb_radius: int = 15,
+                      stale_kf_window: int = 10,
+                      map_scale: float = 1.0,
+                      scale_min_dist: float = 0.25) -> MapState:
     """Epipolar-match every candidate and update its depth filter.
 
     Mirrors Map::UpdateCandidates (map.cc:402-498): match -> triangulate ->
     Bayesian update; misses bump the fail counter; candidates with more
     evidence for outlier than inlier (b > 2a after warm-up) or too many
-    failures are freed.
+    failures are freed. Degenerate measurements are gated like the
+    reference: near-zero baseline relative to depth skips the whole attempt
+    (map.cc:450-455, using the candidate's own depth as the scale), and a
+    successful match still doesn't update on ~zero parallax
+    (map.cc:474-479) or a too-close triangulation (map.cc:482-485).
+    Candidates NOT visible from the current frame whose anchor keyframe is
+    older than ``stale_kf_window`` keyframes (reference default
+    2*MaxSearchKeyframes, map.cc:413,438-442) age out — without this,
+    invisible seeds occupy fixed-capacity slots forever and block new
+    seeding once the camera moves on.
     """
+    from ..core import geometry
+
     res: EpipolarResult = epipolar_search(
         m, intr, cur_pyr, pose_cur, n_samples=n_samples, use_orb=use_orb,
         half=patch_half, lk_iters=lk_iters, orb_radius=orb_radius,
@@ -112,20 +126,45 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
         m.cand_rho, m.cand_sigma2, m.cand_a, m.cand_b,
         x, tau_inv * tau_inv, rho_range,
     )
-    upd = res.ok & m.cand_valid
+    # measurement gates (map.cc:450-485)
+    depth_cand = 1.0 / jnp.maximum(m.cand_rho, 1e-6)
+    baseline_ok = (jnp.linalg.norm(t_ref, axis=-1)
+                   / jnp.maximum(depth_cand, 1e-6)) >= 0.01
+    anchor_pos = se3.translation(se3.inverse(m.kf_pose[m.cand_kf]))
+    cur_pos = se3.translation(se3.inverse(pose_cur))
+    p_world = se3.transform(
+        se3.inverse(m.kf_pose[m.cand_kf]), m.cand_bearing * z[:, None]
+    )
+    cosa = geometry.parallax_cosine(p_world, anchor_pos, cur_pos[None])
+    deep_enough = ((z >= map_scale * scale_min_dist)
+                   & (z >= depth_cand * scale_min_dist))
+    upd = (res.ok & m.cand_valid & baseline_ok
+           & (cosa < 0.999999) & deep_enough)
+    # a gated-out attempt is a skip, not a failure (the reference
+    # `continue`s before SearchPoint on low baseline)
+    miss = res.attempted & baseline_ok & ~res.ok
     m = m._replace(
         cand_rho=jnp.where(upd, rho_n, m.cand_rho),
         cand_sigma2=jnp.where(upd, sig_n, m.cand_sigma2),
         cand_a=jnp.where(upd, a_n, m.cand_a),
         cand_b=jnp.where(upd, b_n, m.cand_b),
         cand_fail=jnp.where(
-            upd, 0, m.cand_fail + (res.attempted & ~res.ok).astype(jnp.int32)
+            upd, 0, m.cand_fail + miss.astype(jnp.int32)
         ),
     )
     # deletion (point.cc:103-116 + inlier-ratio test)
     n_upd = m.cand_a + m.cand_b
     bad = (m.cand_fail > max_failed) | ((n_upd > 20) & (m.cand_b > 2 * m.cand_a))
-    return m._replace(cand_valid=m.cand_valid & ~bad)
+    # aging (map.cc:438-442): invisible from this frame (no epipolar sample
+    # landed in view -> attempted is False) AND anchored >= stale_kf_window
+    # keyframes ago (rank by kf_frame_id among valid keyframes)
+    anchor_fid = m.kf_frame_id[m.cand_kf]
+    newer = jnp.sum(
+        (m.kf_frame_id[None, :] > anchor_fid[:, None]) & m.kf_valid[None, :],
+        axis=1,
+    )
+    stale = m.cand_valid & ~res.attempted & (newer >= stale_kf_window)
+    return m._replace(cand_valid=m.cand_valid & ~bad & ~stale)
 
 
 def promote_converged(m: MapState, threshold_converged: float = 0.1,

@@ -131,7 +131,10 @@ def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                max_failed: int = 15, use_orb: bool = False,
                patch_half: int = 4, lk_iters: int = 8,
                orb_radius: int = 15,
-               prune_redundant: bool = True) -> MapState:
+               prune_redundant: bool = True,
+               stale_kf_window: int = 10,
+               map_scale: float = 1.0,
+               scale_min_dist: float = 0.25) -> MapState:
     """Per-frame mapper iteration (Map::UpdateMap, map.cc:73-143): update
     all candidate depth filters against this frame, promote converged ones,
     and retire one redundant keyframe if any (the reference runs
@@ -142,6 +145,8 @@ def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
         m, intr, cur_pyr, pose_cur, n_samples=n_samples,
         max_failed=max_failed, use_orb=use_orb, patch_half=patch_half,
         lk_iters=lk_iters, orb_radius=orb_radius,
+        stale_kf_window=stale_kf_window,
+        map_scale=map_scale, scale_min_dist=scale_min_dist,
     )
     m = depth_filter.promote_converged(m, threshold_converged)
     if prune_redundant:

@@ -216,6 +216,8 @@ class SDVL:
                 use_orb=s.use_orb,
                 patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
                 orb_radius=s.orb_size // 2,
+                stale_kf_window=2 * s.max_search_keyframes,
+                map_scale=s.map_scale, scale_min_dist=s.scale_min_dist,
             )
 
         @jax.jit

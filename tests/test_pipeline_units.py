@@ -85,6 +85,48 @@ def test_vogiatzis_rejects_outliers():
     assert float(a[0]) / float(a[0] + b[0]) < 0.45
 
 
+def test_candidate_aging_deletes_stale_invisible():
+    """Candidates invisible from the current frame whose anchor keyframe is
+    >= stale_kf_window keyframes old age out (reference map.cc:413,438-442:
+    min_kf_id = last KF id - 2*MaxSearchKeyframes); fresh-anchored or
+    visible candidates survive."""
+    H, W, levels = 128, 160, 3
+    m = empty_map(n_kf=16, n_pts=16, n_cand=8, img_shape=(H, W),
+                  levels=levels)
+    intr = camera.Intrinsics.create(200.0, 200.0, 79.5, 63.5,
+                                    width=W, height=H)
+    m = m._replace(
+        kf_valid=m.kf_valid.at[:12].set(True),
+        kf_frame_id=m.kf_frame_id.at[:12].set(
+            jnp.arange(12, dtype=jnp.int32)),
+    )
+    behind = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)   # never projects
+    ahead = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    m = m._replace(
+        cand_valid=m.cand_valid.at[:3].set(True),
+        # A: stale anchor (kf 0, 11 newer) + invisible -> deleted
+        # B: fresh anchor (kf 11) + invisible -> kept
+        # C: stale anchor but visible -> kept
+        cand_kf=m.cand_kf.at[0].set(0).at[1].set(11).at[2].set(0),
+        cand_bearing=m.cand_bearing.at[0].set(behind).at[1].set(behind)
+                                   .at[2].set(ahead),
+        cand_px=m.cand_px.at[:3].set(jnp.asarray([79.5, 63.5])),
+        cand_rho=m.cand_rho.at[:3].set(0.25),
+        cand_sigma2=m.cand_sigma2.at[:3].set(0.01),
+        cand_a=m.cand_a.at[:3].set(10.0),
+        cand_b=m.cand_b.at[:3].set(10.0),
+    )
+    pyr = tuple(jnp.zeros((H >> l, W >> l), jnp.float32)
+                for l in range(levels))
+    m2 = depth_filter.update_candidates(
+        m, intr, pyr, se3.identity(), n_samples=8, stale_kf_window=10
+    )
+    valid = np.asarray(m2.cand_valid)
+    assert not valid[0], "stale invisible candidate must age out"
+    assert valid[1], "fresh invisible candidate must survive"
+    assert valid[2], "visible candidate must survive"
+
+
 def test_compute_tau_positive_and_scales():
     t = jnp.asarray([[0.3, 0.0, 0.0]])
     bearing = jnp.asarray([[0.0, 0.0, 1.0]])
