@@ -52,21 +52,15 @@ def run(n_devices: int, streams_per_device: int = 1,
     if mesh is None:
         mesh = make_mesh(n_devices, axis="stream")
     ms = MultiStream(cfg, mesh, n_streams=B, seed=0)
+    if chunk > 1:  # round phases up to whole chunks
+        n_warm = -(-n_warm // chunk) * chunk
+        n_timed = -(-n_timed // chunk) * chunk
     seqs = [
         [np.clip(scene.render(p), 0, 255).astype(np.uint8)
          for p in scene.trajectory(n_warm + n_timed,
                                    translation_amp=1.0 + 0.05 * i)]
         for i in range(B)
     ]
-    if chunk > 1:  # round phases up to whole chunks
-        n_warm = -(-n_warm // chunk) * chunk
-        n_timed = -(-n_timed // chunk) * chunk
-        seqs = [
-            [np.clip(scene.render(p), 0, 255).astype(np.uint8)
-             for p in scene.trajectory(n_warm + n_timed,
-                                       translation_amp=1.0 + 0.05 * i)]
-            for i in range(B)
-        ]
     batches = [np.stack([s[t] for s in seqs])
                for t in range(n_warm + n_timed)]  # (N, H, W) per t
     if chunk > 1:

@@ -116,12 +116,22 @@ def main(argv=None):
             seq_stamps, paths = ds.euroc_index(args.euroc)
             args._seq_gt = _maybe(ds.load_euroc_groundtruth, args.euroc)
 
-        # decode through the native prefetching loader (frame_loader.cc)
+        # decode through the native prefetching loader (frame_loader.cc);
+        # indexed so stamps stay aligned if an undecodable image is skipped
         from ..io.native_loader import frame_source
 
-        frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
-                              prefer_native=not args.no_native_loader)
-        args._seq_stamps = seq_stamps
+        indexed = frame_source(paths, cfg.camera.width, cfg.camera.height,
+                               prefer_native=not args.no_native_loader,
+                               indexed=True)
+        used_stamps: list = []
+
+        def _seq_frames():
+            for i, img in indexed:
+                used_stamps.append(seq_stamps[i])
+                yield img
+
+        frames = _seq_frames()
+        args._seq_stamps = used_stamps
     else:
         if not args.config:
             ap.error("--config required unless --synthetic")
@@ -144,6 +154,9 @@ def main(argv=None):
                                   prefer_native=not args.no_native_loader)
 
     if args.stream:
+        if args.live:
+            print("[WARN] --live needs per-frame host state; ignored "
+                  "with --stream (use --viz for post-run rendering)")
         return _run_stream(args, cfg, frames, gt_poses)
 
     from ..utils.trace import Tracer
@@ -169,17 +182,13 @@ def main(argv=None):
 
     live_ui = None
     if args.live:
-        if args.stream:
-            print("[WARN] --live needs per-frame host state; ignored "
-                  "with --stream (use --viz for post-run rendering)")
-        else:
-            from ..viz import LiveUI
+        from ..viz import LiveUI
 
-            if LiveUI.available():
-                live_ui = LiveUI()
-            else:
-                print("[WARN] --live: no display/cv2 GUI available; "
-                      "running headless (use --viz DIR instead)")
+        if LiveUI.available():
+            live_ui = LiveUI()
+        else:
+            print("[WARN] --live: no display/cv2 GUI available; "
+                  "running headless (use --viz DIR instead)")
 
     times = []
     frame_states = {}
@@ -290,28 +299,41 @@ def _ate_vs_seq_gt(gt, stamps, traj_wc, tracked=None):
         return {}
     stamps = np.asarray(stamps, np.float64)
     traj_wc = np.asarray(traj_wc)
+    orig = np.arange(len(traj_wc))
     if tracked is not None and tracked.any():
-        stamps, traj_wc = stamps[tracked], traj_wc[tracked]
+        stamps, traj_wc, orig = (stamps[tracked], traj_wc[tracked],
+                                 orig[tracked])
     ia, ib = evaluate.associate(stamps, gt[:, 0])
     if len(ia) < 3:
         return {}
     p_est = evaluate.positions_from_poses(traj_wc[ia])
     p_gt = gt[ib, 1:4]
-    ate, rpe = _aligned_scores(p_est, p_gt)
+    ate, rpe = _aligned_scores(p_est, p_gt, idx=orig[ia])
     return {"ate_rmse_gt": ate, "rpe_gt": rpe}
 
 
-def _aligned_scores(p_est, p_gt):
+def _aligned_scores(p_est, p_gt, idx=None):
     """Sim(3)-aligned ATE RMSE + frame-to-frame RPE (drift) RMSE. The
     alignment (incl. scale — monocular gauge) happens once; RPE is computed
-    on the aligned track like the TUM tooling's rpe.py."""
+    on the aligned track like the TUM tooling's rpe.py. ``idx`` carries the
+    original frame index of each row: only pairs of truly ADJACENT frames
+    count as one frame of drift (lost/unassociated gaps would otherwise be
+    charged as single-frame error)."""
     from ..io import evaluate
 
     s, R, t = evaluate.umeyama(p_est, p_gt, with_scale=True)
     aligned = (s * (R @ p_est.T)).T + t
     ate = float(np.sqrt(np.mean(
         np.linalg.norm(aligned - p_gt, axis=1) ** 2)))
-    return round(ate, 4), round(evaluate.rpe(aligned, p_gt), 4)
+    d_est = aligned[1:] - aligned[:-1]
+    d_gt = p_gt[1:] - p_gt[:-1]
+    if idx is not None:
+        keep = np.diff(np.asarray(idx)) == 1
+        d_est, d_gt = d_est[keep], d_gt[keep]
+    rpe = (float(np.sqrt(np.mean(
+        np.linalg.norm(d_est - d_gt, axis=1) ** 2)))
+        if len(d_est) else None)
+    return round(ate, 4), (round(rpe, 4) if rpe is not None else None)
 
 
 def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
@@ -324,13 +346,14 @@ def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
 
     traj_wc = np.asarray(traj_wc)
     gt_wc = np.asarray(gt_wc)
+    orig = np.arange(len(traj_wc))
     if tracked is not None and tracked.any():
-        traj_wc, gt_wc = traj_wc[tracked], gt_wc[tracked]
+        traj_wc, gt_wc, orig = traj_wc[tracked], gt_wc[tracked], orig[tracked]
     if len(traj_wc) < 3:
         return {}
     p_est = evaluate.positions_from_poses(traj_wc)
     p_gt = evaluate.positions_from_poses(gt_wc)
-    ate, rpe = _aligned_scores(p_est, p_gt)
+    ate, rpe = _aligned_scores(p_est, p_gt, idx=orig)
     return {"ate_rmse": ate, "rpe": rpe}
 
 
@@ -387,21 +410,27 @@ def _run_stream(args, cfg, frames, gt_poses=None):
         load_stream_snapshot(slam, args.resume)
         print(f"[INFO] resumed stream session from {args.resume}")
     n = 0
+    n_warm = 0      # frames dispatched before the steady clock started
     t_first = None
     t0 = time.perf_counter()
     if args.chunk > 1:
         buf = []
+        done = False
         for img in frames:
             buf.append(np.asarray(img))
             if keep_frames is not None:
                 keep_frames.append(buf[-1])
-            if len(buf) == args.chunk:
+            if args.max_frames and n + len(buf) >= args.max_frames:
+                del buf[args.max_frames - n:]  # honor the limit exactly
+                done = True
+            if len(buf) == args.chunk or (done and buf):
                 slam.feed_chunk(np.stack(buf))
                 if n == 0:
                     t_first = time.perf_counter()
+                    n_warm = len(buf)
                 n += len(buf)
                 buf.clear()
-            if args.max_frames and n >= args.max_frames:
+            if done:
                 break
         if buf:
             for img in buf:
@@ -415,12 +444,14 @@ def _run_stream(args, cfg, frames, gt_poses=None):
             slam.feed(img)
             if n == 0:
                 t_first = time.perf_counter()
+                n_warm = 1
             n += 1
             if args.max_frames and n >= args.max_frames:
                 break
     slam.block()
     dt = time.perf_counter() - t0
     dt_steady = time.perf_counter() - (t_first or t0)
+    n_steady = max(n - n_warm, 1)  # frames inside the steady window
 
     r = slam.result()
     traj = np.asarray(r.trajectory)
@@ -440,8 +471,8 @@ def _run_stream(args, cfg, frames, gt_poses=None):
         "frames": n,
         "keyframes": int(np.asarray(slam.m.kf_valid).sum()),
         "points": int(np.asarray(slam.m.pt_valid).sum()),
-        "mean_ms": round(dt_steady / max(n - 1, 1) * 1e3, 3),
-        "fps": round((n - 1) / dt_steady, 2) if n > 1 else None,
+        "mean_ms": round(dt_steady / n_steady * 1e3, 3),
+        "fps": round(n_steady / dt_steady, 2) if n > n_warm else None,
         "wall_s": round(dt, 2),
     }
     if gt_poses is not None and r.n_frames and not args.resume:

@@ -77,6 +77,15 @@ class NativeFrameLoader:
         return self
 
     def __next__(self) -> np.ndarray:
+        _, frame = self.next_indexed()
+        return frame
+
+    def next_indexed(self):
+        """(path_index, frame) of the next decodable image. Every
+        loader_next call consumes exactly one path in order (rc -1 = that
+        path failed to decode), so the index is a plain counter — callers
+        pairing frames with per-path metadata (timestamps) stay aligned
+        across skips."""
         while True:
             rc = _lib.loader_next(
                 self._handle,
@@ -84,8 +93,9 @@ class NativeFrameLoader:
             )
             if rc == 0:
                 raise StopIteration
+            self._idx = getattr(self, "_idx", -1) + 1
             if rc == 1:
-                return self._buf.copy()
+                return self._idx, self._buf.copy()
             # rc == -1: undecodable frame — skip like the reference skips
             # empty reads (video_source.cc:64-79 just moves on)
 
@@ -102,18 +112,33 @@ class NativeFrameLoader:
 
 
 def frame_source(paths: List[str], width: int, height: int,
-                 prefer_native: bool = True) -> Iterator[np.ndarray]:
-    """Best-available frame iterator: native prefetching loader, else cv2."""
+                 prefer_native: bool = True,
+                 indexed: bool = False) -> Iterator:
+    """Best-available frame iterator: native prefetching loader, else cv2.
+
+    With ``indexed``, yields ``(path_index, frame)`` so per-path metadata
+    (dataset timestamps) stays aligned when undecodable images are skipped.
+    """
     if prefer_native and ensure_built():
-        return iter(NativeFrameLoader(paths, width, height))
+        loader = NativeFrameLoader(paths, width, height)
+        if indexed:
+            def _native_indexed():
+                while True:
+                    try:
+                        yield loader.next_indexed()
+                    except StopIteration:
+                        return
+            return _native_indexed()
+        return iter(loader)
 
     def _gen():
         import cv2
 
-        for p in paths:
+        for i, p in enumerate(paths):
             img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
             if img is None:
                 continue
-            yield img.astype(np.float32)
+            f = img.astype(np.float32)
+            yield (i, f) if indexed else f
 
     return _gen()

@@ -222,7 +222,8 @@ class LiveUI:
         self.vp = Viewpoint()
         self.quit_requested = False
         self.paused = False
-        self._latest = None          # (rgb_overlay, m, trajectory, pose)
+        self._latest = None  # raw snapshot tuple, rendered on the UI thread
+        self._last_snap_t = 0.0
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._drag = None
@@ -233,21 +234,25 @@ class LiveUI:
     # ------------------------------------------------------- tracker side
     def update(self, slam, img, info) -> None:
         """Snapshot the latest state (reference UI::Update, ui/ui.cc:49-85).
-        Device arrays are converted here, at most at the UI rate."""
-        overlay = None
+
+        Rate-limited to the UI rate: between UI ticks this returns without
+        touching anything, so the tracker loop pays the device->host pulls
+        and numpy copies at most ``rate_hz`` times a second — never per
+        frame. All DRAWING happens on the UI thread from the raw snapshot.
+        """
+        now = time.perf_counter()
+        if now - self._last_snap_t < 1.0 / self.rate:
+            return
+        self._last_snap_t = now
+        match = None
         if info.get("match_px") is not None:
-            overlay = draw_frame_overlay(
-                np.asarray(img), np.asarray(info["match_px"]),
-                np.asarray(info["match_ok"]),
-                np.asarray(info["match_attempted"]),
-                quality=info.get("quality", "GOOD"),
-            )
-        else:
-            g = np.clip(np.asarray(img, np.float32), 0, 255)
-            overlay = np.repeat(g[..., None], 3, -1).astype(np.uint8)
+            match = (np.asarray(info["match_px"]),
+                     np.asarray(info["match_ok"]),
+                     np.asarray(info["match_attempted"]))
+        snap = (np.asarray(img), match, info.get("quality", "GOOD"),
+                slam.m, list(slam.trajectory), info.get("pose"))
         with self._lock:
-            self._latest = (overlay, slam.m, list(slam.trajectory),
-                            info.get("pose"))
+            self._latest = snap
 
     def stop(self) -> None:
         self._stop.set()
@@ -280,7 +285,14 @@ class LiveUI:
             with self._lock:
                 snap = self._latest
             if snap is not None and not self.paused:
-                overlay, m, trajectory, pose = snap
+                img, match, quality, m, trajectory, pose = snap
+                if match is not None:
+                    overlay = draw_frame_overlay(
+                        img, match[0], match[1], match[2], quality=quality
+                    )
+                else:
+                    g = np.clip(np.asarray(img, np.float32), 0, 255)
+                    overlay = np.repeat(g[..., None], 3, -1).astype(np.uint8)
                 scene = render_scene_view(m, trajectory, self.vp,
                                           cur_pose=pose)
                 if not windows:
