@@ -88,8 +88,12 @@ def _level_align(pyr_ref_l: jnp.ndarray, pyr_cur_l: jnp.ndarray, intr,
         raw = jnp.sum(r * r) / jnp.maximum(n_eff, 1.0)
         return jnp.where(n_eff >= 5.0, raw, jnp.inf)
 
-    def body(_, carry):
-        T_cr, best_T, best_chi2 = carry
+    def cond(carry):
+        k, _T, _bT, _bchi, stop = carry
+        return (k < iters) & ~stop
+
+    def body(carry):
+        k, T_cr, best_T, best_chi2, _ = carry
         r, m = residuals(T_cr)
         chi2 = _chi2(r, m)
         # keep the best pose seen so far (functional rollback)
@@ -98,13 +102,20 @@ def _level_align(pyr_ref_l: jnp.ndarray, pyr_cur_l: jnp.ndarray, intr,
         best_chi2 = jnp.where(better, chi2, best_chi2)
         g = jnp.einsum("npj,np->j", J, r)
         dx = jnp.linalg.solve(Hmat, g[:, None])[:, 0]
+        # early exit like the reference (image_align.cc:109-122): stop on a
+        # chi2 increase (after the rollback is banked) or a ~zero update —
+        # at steady state the motion-model prediction converges in a few
+        # steps, and the GN chain is the tracker's latency bottleneck
+        stop = ~better | (jnp.max(jnp.abs(dx)) < 1e-7)
         # inverse-compositional update: T <- T * exp(dx)^-1
         T_cr = se3.compose(T_cr, se3.inverse(se3.exp(dx)))
-        return T_cr, best_T, best_chi2
+        return k + 1, T_cr, best_T, best_chi2, stop
 
-    init = (T_cr0, T_cr0, jnp.asarray(jnp.inf, jnp.float32))
-    T_cr, best_T, best_chi2 = jax.lax.fori_loop(0, iters, body, init)
-    # last evaluation to possibly accept the final iterate
+    init = (jnp.asarray(0, jnp.int32), T_cr0, T_cr0,
+            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False))
+    _, T_cr, best_T, best_chi2, stop = jax.lax.while_loop(cond, body, init)
+    # last evaluation to possibly accept the final iterate (best-so-far
+    # semantics: accepting a coincidentally better post-stop pose is safe)
     r, m = residuals(T_cr)
     chi2 = _chi2(r, m)
     better = chi2 < best_chi2

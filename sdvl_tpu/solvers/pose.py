@@ -59,7 +59,12 @@ def optimize(pose_init: jnp.ndarray, pts_w: jnp.ndarray, uv_obs: jnp.ndarray,
         front = (p_cam[..., 2] > 1e-3).astype(jnp.float32) * vmask
         return r, p_cam, front
 
-    def body(_, pose):
+    def cond(carry):
+        k, _pose, stop = carry
+        return (k < iters) & ~stop
+
+    def body(carry):
+        k, pose, _ = carry
         r, p_cam, front = residuals(pose)
         r_norm = jnp.linalg.norm(r, axis=-1)
         w = _tukey_weights(r_norm, front > 0)
@@ -68,9 +73,16 @@ def optimize(pose_init: jnp.ndarray, pts_w: jnp.ndarray, uv_obs: jnp.ndarray,
         g = jnp.einsum("nki,nk,n->i", J, r, w)
         Hmat = Hmat + 1e-8 * jnp.eye(6, dtype=Hmat.dtype)
         dx = jnp.linalg.solve(Hmat, -g[:, None])[:, 0]
-        return se3.boxplus(pose, dx)
+        # early exit on a converged update (reference ConvergePose breaks at
+        # AbsMax(dT) <= 1e-10, feature_align.cc:417-418) — the IRLS chain is
+        # sequential latency on the tracker's critical path
+        stop = jnp.max(jnp.abs(dx)) < 1e-8
+        return k + 1, se3.boxplus(pose, dx), stop
 
-    pose = jax.lax.fori_loop(0, iters, body, pose_init)
+    _, pose, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), pose_init,
+                     jnp.asarray(False))
+    )
 
     r, _, front = residuals(pose)
     r_norm = jnp.linalg.norm(r, axis=-1)
