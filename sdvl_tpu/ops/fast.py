@@ -126,7 +126,8 @@ def _grid_best(score_map: jnp.ndarray, mask: jnp.ndarray, cell: int):
 
 def detect_level(img: jnp.ndarray, level: int, cell: int = 32,
                  fast_threshold: float = 10.0, st_threshold: float = 50.0,
-                 locked_cells: jnp.ndarray | None = None) -> Corners:
+                 locked_cells: jnp.ndarray | None = None,
+                 use_pallas: bool = False) -> Corners:
     """Detect corners on one pyramid level; one slot per grid cell.
 
     ``locked_cells`` is an optional (gh*gw,) bool of cells to suppress —
@@ -134,10 +135,21 @@ def detect_level(img: jnp.ndarray, level: int, cell: int = 32,
     holding tracked features (fast_detector.cc:48-56, frame.cc:141-144).
     Positions are reported in level-0 pixel coordinates (scaled by 2**level),
     matching reference corner bookkeeping (frame.h stores level-0 coords).
+
+    ``use_pallas`` routes the dense FAST+Shi-Tomasi pass through the fused
+    VMEM-resident kernel (ops/pallas/detect.py) — one HBM read/write
+    instead of the (16, H, W) neighbor stack; semantics differ only in a
+    4-pixel border (invalid there, which grid selection ignores anyway).
     """
-    corner = fast_corner_mask(img, fast_threshold)
-    score = shi_tomasi(img)
-    xy, best, valid = _grid_best(score, corner, cell)
+    if use_pallas:
+        from .pallas.detect import fast_shi_tomasi_map
+
+        smap = fast_shi_tomasi_map(img, fast_threshold, st_threshold)
+        xy, best, valid = _grid_best(smap, jnp.isfinite(smap), cell)
+    else:
+        corner = fast_corner_mask(img, fast_threshold)
+        score = shi_tomasi(img)
+        xy, best, valid = _grid_best(score, corner, cell)
     valid = valid & (best > st_threshold)
     if locked_cells is not None:
         valid = valid & ~locked_cells
@@ -154,7 +166,8 @@ def detect_level(img: jnp.ndarray, level: int, cell: int = 32,
 def detect_pyramid(pyr: Sequence[jnp.ndarray], levels: int = 3,
                    cell: int = 32, fast_threshold: float = 10.0,
                    st_threshold: float = 50.0,
-                   max_features: int | None = None) -> Corners:
+                   max_features: int | None = None,
+                   use_pallas: bool = False) -> Corners:
     """Detect over the first ``levels`` pyramid levels and concatenate.
 
     Mirrors reference DetectPyramid (fast_detector.cc:154-175) which detects
@@ -167,7 +180,7 @@ def detect_pyramid(pyr: Sequence[jnp.ndarray], levels: int = 3,
     """
     parts = [
         detect_level(pyr[l], l, cell=cell, fast_threshold=fast_threshold,
-                     st_threshold=st_threshold)
+                     st_threshold=st_threshold, use_pallas=use_pallas)
         for l in range(levels)
     ]
     out = Corners(

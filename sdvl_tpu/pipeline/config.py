@@ -76,6 +76,9 @@ class SdvlConfig:
     epipolar_samples: int = 32    # samples along the epipolar segment
     max_reobs: int = 512          # reobservation attempts per new keyframe
                                   #   (AddConnectionsPoints, map.cc:560-617)
+    use_pallas_detect: bool = False  # fused VMEM FAST+Shi-Tomasi kernel
+                                  #   (ops/pallas/detect.py) — TPU only;
+                                  #   the XLA path is the CI/CPU default
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,7 +160,7 @@ def load_cfg(path: str) -> Config:
         name = key[5:]
         name = _KEYMAP.get(name, name)
         if name in fields:
-            if name == "use_orb":
+            if name.startswith("use_"):
                 value = bool(value)
             sdvl_kwargs[name] = value
     return Config(camera=cam, sdvl=SdvlConfig(**sdvl_kwargs), video=video)

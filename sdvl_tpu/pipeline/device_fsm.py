@@ -169,6 +169,7 @@ def make_step(cfg: Config, undistort: bool):
             fast_threshold=s.fast_threshold,
             st_threshold=s.min_feature_score,
             max_features=s.num_features,
+            use_pallas=s.use_pallas_detect,
         )
         return pyr, corners
 
