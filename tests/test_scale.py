@@ -91,6 +91,62 @@ def test_kf_store_is_uint8():
     assert bytes_u8 * 4 == sum(4 * l.size for l in m.kf_pyr)
 
 
+def test_long_stream_run_bounded_and_tracking():
+    """End-to-end long-horizon run through the DEVICE FSM: 160 frames at
+    160x120 with an 8-slot keyframe store — several eviction/pruning cycles
+    deep, tracking must stay alive and the map bounded (the Zurich axis:
+    reference max_keyframes up to 1000 with eviction, map.cc:190-205)."""
+    from sdvl_tpu.pipeline.stream import SdvlStream
+
+    H, W = 120, 160
+    scene = PlaneScene(fx=120.0, fy=120.0, cx=79.5, cy=59.5,
+                       width=W, height=H, plane_z=4.0)
+    cfg_ = __import__("sdvl_tpu.pipeline.config", fromlist=["Config"])
+    cfg = cfg_.Config(
+        camera=cfg_.CameraConfig(width=W, height=H, fx=120.0, fy=120.0,
+                                 u0=79.5, v0=59.5, dist=(0, 0, 0, 0, 0)),
+        sdvl=cfg_.SdvlConfig(cell_size=16, min_avg_shift=3.0,
+                             max_keyframes=8, min_keyframe_its=3,
+                             min_init_corners=15, min_matches=8,
+                             max_points=256, max_candidates=128,
+                             map_scale=4.0),
+    )
+    slam = SdvlStream(cfg, seed=0)
+    n = 160
+    # wide, fast sweep: the view leaves old keyframes behind, forcing
+    # keyframe churn through the 8-slot store
+    poses = scene.trajectory(n, translation_amp=3.5, rot_amp=0.08,
+                             rate=1.0 / 110.0)
+    for p in poses:
+        slam.feed(np.round(np.clip(scene.render(p), 0, 255)
+                           ).astype(np.uint8))
+    slam.block()
+    r = slam.result()
+    states = np.asarray(r.states)
+    # tracking survives the whole run (brief LOST dips allowed, must recover)
+    assert states[-1] == 2, states[-20:]
+    assert (states[n // 2:] == 2).mean() > 0.9
+    # enough keyframes flowed through the 8-slot store to force evictions
+    assert int(slam.m.n_keyframes) > 8, int(slam.m.n_keyframes)
+    assert int(np.asarray(slam.m.kf_valid).sum()) <= 8
+    # all surviving anchors point at live keyframes
+    kf_valid = np.asarray(slam.m.kf_valid)
+    anchors = np.asarray(slam.m.pt_anchor_kf)[np.asarray(slam.m.pt_valid)]
+    assert kf_valid[anchors].all()
+    # ATE still sane over the tracked tail (Sim(3) aligned)
+    from sdvl_tpu.io import evaluate
+
+    tracked = states == 2
+    est = np.asarray(r.trajectory)[tracked]
+    gt = np.stack(poses)[tracked]
+    ate = evaluate.ate_rmse(evaluate.positions_from_poses(est),
+                            evaluate.positions_from_poses(gt),
+                            with_scale=True)
+    extent = float(np.linalg.norm(np.ptp(
+        evaluate.positions_from_poses(gt), axis=0)))
+    assert ate < 0.08 * max(extent, 1e-6), (ate, extent)
+
+
 def test_redundant_prune_drains_every_frame():
     """A backlog of redundant keyframes drains at >=1 per update_map call —
     the reference runs CheckRedundantKeyframes every non-KF mapper iteration
