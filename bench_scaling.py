@@ -18,11 +18,17 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
+
+# jax.config.update, NOT the env var: on jax 0.9.0 an env var set after
+# process start is silently ignored (see bench.py).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 
 def run(n_devices: int, streams_per_device: int = 1,

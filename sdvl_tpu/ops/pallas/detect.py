@@ -212,7 +212,7 @@ def fast_shi_tomasi_map(img: jnp.ndarray, fast_threshold: float = 10.0,
         kernel,
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((padded_h, padded_w), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_TILE, padded_w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

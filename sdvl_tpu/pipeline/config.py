@@ -161,7 +161,14 @@ def load_cfg(path: str) -> Config:
         name = _KEYMAP.get(name, name)
         if name in fields:
             if name.startswith("use_"):
-                value = bool(value)
+                # the cfg parser leaves unquoted non-numeric values as
+                # strings; bool("false") would be True
+                if isinstance(value, str):
+                    value = value.strip().lower() not in (
+                        "0", "false", "no", "off", "",
+                    )
+                else:
+                    value = bool(value)
             sdvl_kwargs[name] = value
     return Config(camera=cam, sdvl=SdvlConfig(**sdvl_kwargs), video=video)
 

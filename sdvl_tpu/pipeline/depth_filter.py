@@ -103,6 +103,13 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     2*MaxSearchKeyframes, map.cc:413,438-442) age out — without this,
     invisible seeds occupy fixed-capacity slots forever and block new
     seeding once the camera moves on.
+
+    The baseline and min-depth gates are scaled by the CURRENT frame's
+    median scene depth (``frame->GetSceneDepth()``, map.cc:411), estimated
+    here as the masked median depth of valid map points in front of this
+    camera that project in-image; when the map has no such points yet the
+    candidate's own filtered depth stands in (keeps early bootstrap frames
+    gated sensibly).
     """
     from ..core import geometry
 
@@ -126,10 +133,20 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
         m.cand_rho, m.cand_sigma2, m.cand_a, m.cand_b,
         x, tau_inv * tau_inv, rho_range,
     )
-    # measurement gates (map.cc:450-485)
+    # measurement gates (map.cc:450-485), scaled by the frame's median
+    # scene depth (map.cc:411) with the candidate depth as the no-map
+    # fallback
     depth_cand = 1.0 / jnp.maximum(m.cand_rho, 1e-6)
+    p_cam_all = se3.transform(pose_cur[None], m.pt_pos)
+    H0, W0 = cur_pyr[0].shape
+    px_all = cam.project(intr, p_cam_all)
+    vis_pt = (m.pt_valid & (p_cam_all[:, 2] > 1e-6)
+              & (px_all[:, 0] >= 0) & (px_all[:, 0] < W0)
+              & (px_all[:, 1] >= 0) & (px_all[:, 1] < H0))
+    depth_scene = geometry.masked_median(p_cam_all[:, 2], vis_pt)
+    scale_depth = jnp.where(depth_scene > 1e-6, depth_scene, depth_cand)
     baseline_ok = (jnp.linalg.norm(t_ref, axis=-1)
-                   / jnp.maximum(depth_cand, 1e-6)) >= 0.01
+                   / jnp.maximum(scale_depth, 1e-6)) >= 0.01
     anchor_pos = se3.translation(se3.inverse(m.kf_pose[m.cand_kf]))
     cur_pos = se3.translation(se3.inverse(pose_cur))
     p_world = se3.transform(
@@ -137,7 +154,7 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     )
     cosa = geometry.parallax_cosine(p_world, anchor_pos, cur_pos[None])
     deep_enough = ((z >= map_scale * scale_min_dist)
-                   & (z >= depth_cand * scale_min_dist))
+                   & (z >= scale_depth * scale_min_dist))
     upd = (res.ok & m.cand_valid & baseline_ok
            & (cosa < 0.999999) & deep_enough)
     # a gated-out attempt is a skip, not a failure (the reference

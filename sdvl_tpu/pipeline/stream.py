@@ -151,18 +151,49 @@ class SdvlStream:
         """ONE device->host transfer of every recorded frame's info.
 
         On this runtime the first value transfer degrades later launch
-        latency; call this when the sequence (or the timed section) is done.
+        latency AND each individual transfer costs ~1 s of synchronous
+        tunnel round trip — pulling the raw per-chunk FrameInfo pytrees
+        (frames x 9 fields) measured ~190 s for a 256-frame run. So the
+        fields are first packed ON DEVICE into a single (N, 21) f32 matrix
+        (pose 7 + world_tf 7 + 7 scalar columns; every int fits f32
+        exactly) and exactly one buffer crosses the tunnel.
         """
         if not self._infos:
             raise ValueError("no frames fed")
-        host = jax.device_get(self._infos)
-        normalized = [
-            jax.tree_util.tree_map(lambda x: np.asarray(x)[None], info)
-            if not chunked else
-            jax.tree_util.tree_map(np.asarray, info)
-            for chunked, info in host
-        ]
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs, axis=0), *normalized
+
+        chunked_flags = [c for c, _ in self._infos]
+
+        def pack(info_list):
+            rows = []
+            for chunked, info in zip(chunked_flags, info_list):
+                if not chunked:
+                    info = jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(x)[None], info
+                    )
+                scal = jnp.stack([
+                    info.state.astype(jnp.float32),
+                    info.quality.astype(jnp.float32),
+                    info.n_matches.astype(jnp.float32),
+                    info.n_attempts.astype(jnp.float32),
+                    info.is_keyframe.astype(jnp.float32),
+                    info.n_corners.astype(jnp.float32),
+                    info.median_shift.astype(jnp.float32),
+                ], axis=-1)
+                rows.append(jnp.concatenate(
+                    [info.pose, info.world_tf, scal], axis=-1
+                ))
+            return jnp.concatenate(rows, axis=0)
+
+        packed = np.asarray(jax.jit(pack)([i for _, i in self._infos]))
+        stacked = FrameInfo(
+            pose=packed[:, 0:7],
+            world_tf=packed[:, 7:14],
+            state=packed[:, 14].astype(np.int32),
+            quality=packed[:, 15].astype(np.int32),
+            n_matches=packed[:, 16].astype(np.int32),
+            n_attempts=packed[:, 17].astype(np.int32),
+            is_keyframe=packed[:, 18] > 0.5,
+            n_corners=packed[:, 19].astype(np.int32),
+            median_shift=packed[:, 20],
         )
         return SlamResult(stacked)
