@@ -32,41 +32,59 @@ from ..solvers.ba import BAProblem, BAResult
 
 
 def _lm_iteration(poses, points, obs_uv, w_mask, fixed, lam, prev_chi2,
-                  huber, axis: str | None):
-    """One damped GN step with point-sharded Schur elimination."""
+                  huber, axis: str | None, method: str = "chol"):
+    """One damped GN step with point-sharded Schur elimination.
+
+    ``method``: "chol" psums the full (K, K, 6, 6) reduced camera system and
+    Cholesky-factorizes it replicated on every device; "cg" never forms it —
+    ba._schur_solve_cg runs matrix-free with one (K, 6) psum per CG
+    iteration, the only option at Zurich-scale keyframe counts
+    (reference config_zurich.cfg max_keyframes 1000 -> S would be 36 M
+    floats per LM step on the wire).
+    """
     def psum(x):
         return jax.lax.psum(x, axis) if axis else x
 
     r, _, w0 = ba_mod._residuals(poses, points, obs_uv, w_mask)
     w = ba_mod._robust_weights(r, w0, huber)
     U, V, Wm, b_c, b_p = ba_mod._build_system(poses, points, r, w)
-    # U and b_c sum over ALL points -> cross-device reduce
-    U = psum(U)
-    b_c = psum(b_c)
 
-    K = U.shape[0]
-    eye3 = jnp.eye(3, dtype=V.dtype)
-    eye6 = jnp.eye(6, dtype=U.dtype)
-    Vinv = jnp.linalg.inv(V + (lam + 1e-8) * eye3[None])
-    WVinv = jnp.einsum("pkij,pjl->pkil", Wm, Vinv)
-    S_cross = psum(jnp.einsum("pkil,pmjl->kmij", WVinv, Wm))
-    rhs = b_c - psum(jnp.einsum("pkil,pl->ki", WVinv, b_p))
+    if method == "cg":
+        # _schur_solve_cg psums U/b_c and the point contractions itself
+        dc, dp = ba_mod._schur_solve_cg(U, V, Wm, b_c, b_p, fixed, lam,
+                                        axis=axis)
+    else:
+        # U and b_c sum over ALL points -> cross-device reduce
+        U = psum(U)
+        b_c = psum(b_c)
 
-    S = -S_cross
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(U + lam * eye6[None])
-    free = (~fixed).astype(S.dtype)
-    S = S * free[:, None, None, None] * free[None, :, None, None]
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(
-        (1.0 - free)[:, None, None] * eye6[None]
-    )
-    rhs = rhs * free[:, None]
+        K = U.shape[0]
+        eye3 = jnp.eye(3, dtype=V.dtype)
+        eye6 = jnp.eye(6, dtype=U.dtype)
+        Vinv = jnp.linalg.inv(V + (lam + 1e-8) * eye3[None])
+        WVinv = jnp.einsum("pkij,pjl->pkil", Wm, Vinv)
+        S_cross = psum(jnp.einsum("pkil,pmjl->kmij", WVinv, Wm))
+        rhs = b_c - psum(jnp.einsum("pkil,pl->ki", WVinv, b_p))
 
-    S_full = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    L = jnp.linalg.cholesky(S_full + 1e-8 * jnp.eye(K * 6, dtype=S.dtype))
-    dc = jax.scipy.linalg.cho_solve((L, True), rhs.reshape(K * 6)).reshape(K, 6)
+        S = -S_cross
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(U + lam * eye6[None])
+        free = (~fixed).astype(S.dtype)
+        S = S * free[:, None, None, None] * free[None, :, None, None]
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(
+            (1.0 - free)[:, None, None] * eye6[None]
+        )
+        rhs = rhs * free[:, None]
 
-    t = b_p - jnp.einsum("pkij,ki->pj", Wm, dc)
-    dp = jnp.einsum("pij,pj->pi", Vinv, t)
+        S_full = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        L = jnp.linalg.cholesky(
+            S_full + 1e-8 * jnp.eye(K * 6, dtype=S.dtype)
+        )
+        dc = jax.scipy.linalg.cho_solve(
+            (L, True), rhs.reshape(K * 6)
+        ).reshape(K, 6)
+
+        t = b_p - jnp.einsum("pkij,ki->pj", Wm, dc)
+        dp = jnp.einsum("pij,pj->pi", Vinv, t)
 
     new_poses = se3.boxplus(poses, -dc)
     new_points = points - dp
@@ -83,7 +101,7 @@ def _lm_iteration(poses, points, obs_uv, w_mask, fixed, lam, prev_chi2,
 
 
 def _solve_sharded_body(poses, fixed, points, obs_uv, obs_mask, huber,
-                        stage_iters, gate_scale, axis):
+                        stage_iters, gate_scale, axis, method):
     """Runs on each device over its point shard."""
     def psum(x):
         return jax.lax.psum(x, axis) if axis else x
@@ -97,7 +115,7 @@ def _solve_sharded_body(poses, fixed, points, obs_uv, obs_mask, huber,
         def body2(_, carry):
             poses, points, lam, chi2 = carry
             return _lm_iteration(poses, points, obs_uv, w_mask, fixed,
-                                 lam, chi2, huber, axis)
+                                 lam, chi2, huber, axis, method)
 
         poses, points, _, chi2 = jax.lax.fori_loop(
             0, iters, body2, (poses, points, lam0, chi0)
@@ -120,14 +138,21 @@ def _solve_sharded_body(poses, fixed, points, obs_uv, obs_mask, huber,
 
 def solve_sharded(problem: BAProblem, mesh: Mesh, huber: float,
                   stage_iters=(5, 10), gate_scale: float = 1.0,
-                  axis: str = "point") -> BAResult:
+                  axis: str = "point",
+                  method: str | None = None) -> BAResult:
     """Distributed two-stage LM over ``mesh`` with points sharded on
     ``axis``. Point count must divide the axis size. Semantics match
-    sdvl_tpu.solvers.ba.solve (same two-stage gating as bundle.cc:192-209).
+    sdvl_tpu.solvers.ba.solve (same two-stage gating as bundle.cc:192-209),
+    including the method auto-pick: dense Cholesky up to
+    ``ba.CG_KF_THRESHOLD`` keyframe slots, matrix-free PCG beyond.
     """
+    if method is None:
+        method = ("cg" if problem.poses.shape[0] > ba_mod.CG_KF_THRESHOLD
+                  else "chol")
     fn = functools.partial(
         _solve_sharded_body, huber=huber,
         stage_iters=tuple(stage_iters), gate_scale=gate_scale, axis=axis,
+        method=method,
     )
     sharded = jax.shard_map(
         fn, mesh=mesh,

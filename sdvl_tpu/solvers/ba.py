@@ -137,7 +137,8 @@ def _schur_solve(U, V, Wm, b_c, b_p, fixed, lam):
 
 
 def _schur_solve_cg(U, V, Wm, b_c, b_p, fixed, lam,
-                    cg_iters: int | None = None):
+                    cg_iters: int | None = None,
+                    axis: str | None = None):
     """Matrix-free PCG on the reduced camera system — the large-map path.
 
     The dense Cholesky in :func:`_schur_solve` materializes S as a
@@ -158,10 +159,20 @@ def _schur_solve_cg(U, V, Wm, b_c, b_p, fixed, lam,
     solve costs a few dozen matvecs, not 1000. This is what replaces g2o's
     sparse-CG solvers (linear_solver_pcg.h) for the TPU: batched einsum
     matvecs instead of sparse triplet walks.
+
+    ``axis``: name of a mesh axis the POINT dimension is sharded over
+    (dist.ba_sharded). When set, ``U``/``b_c`` and every point-contracted
+    term are partial sums over the local point shard and get ``psum``-ed;
+    the per-CG-iteration wire cost is one (K, 6) reduce — independent of
+    both P and K^2, unlike the dense path's (K, K, 6, 6) S_cross psum.
     """
     K = U.shape[0]
     if cg_iters is None:
         cg_iters = max(64, K)
+
+    def psum(x):
+        return jax.lax.psum(x, axis) if axis else x
+
     eye3 = jnp.eye(3, dtype=V.dtype)
     eye6 = jnp.eye(6, dtype=U.dtype)
     free = (~fixed).astype(U.dtype)
@@ -170,20 +181,20 @@ def _schur_solve_cg(U, V, Wm, b_c, b_p, fixed, lam,
     Vinv = jnp.linalg.inv(V_d)                                 # (P,3,3)
     WVinv = jnp.einsum("pkij,pjl->pkil", Wm, Vinv)             # (P,K,6,3)
 
-    rhs = (b_c - jnp.einsum("pkil,pl->ki", WVinv, b_p)) * free[:, None]
+    rhs = psum(b_c - jnp.einsum("pkil,pl->ki", WVinv, b_p)) * free[:, None]
 
-    U_d = U + (lam + 1e-8) * eye6[None]
+    U_d = psum(U) + (lam + 1e-8) * eye6[None]
 
     def matvec(x):                                             # x (K,6)
         x = x * free[:, None]
         t = jnp.einsum("pkij,ki->pj", Wm, x)                   # (P,3)
         y = jnp.einsum("kij,kj->ki", U_d, x)
-        y = y - jnp.einsum("pkil,pl->ki", WVinv, t)
+        y = y - psum(jnp.einsum("pkil,pl->ki", WVinv, t))
         # fixed cameras act as identity rows (keeps the operator PD)
         return y * free[:, None] + x * (1.0 - free)[:, None]
 
     # block-Jacobi preconditioner: exact 6x6 diagonal blocks of S
-    D = U_d - jnp.einsum("pkil,pkjl->kij", WVinv, Wm)          # (K,6,6)
+    D = U_d - psum(jnp.einsum("pkil,pkjl->kij", WVinv, Wm))    # (K,6,6)
     D = D * free[:, None, None] + eye6[None] * (1.0 - free)[:, None, None]
     Dinv = jnp.linalg.inv(D + 1e-8 * eye6[None])
 

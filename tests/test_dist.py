@@ -81,6 +81,30 @@ def test_sharded_ba_improves_poses():
     assert pose_err(res.poses) < pose_err(poses0) * 0.5
 
 
+def test_sharded_ba_cg_matches_dense():
+    """The matrix-free PCG path (Zurich-scale maps: never materializes the
+    (6K, 6K) reduced system, one (K, 6) psum per CG iteration) must agree
+    with the replicated dense Cholesky path on the same sharded problem."""
+    rs = np.random.default_rng(14)
+    problem = _problem(rs)
+    huber = float(np.sqrt(5.991) / 420.0)
+    m = mesh_mod.make_mesh()
+
+    res_chol = ba_sharded.solve_sharded(problem, m, huber=huber,
+                                        method="chol")
+    res_cg = ba_sharded.solve_sharded(problem, m, huber=huber, method="cg")
+
+    np.testing.assert_allclose(
+        np.asarray(res_cg.poses), np.asarray(res_chol.poses), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_cg.points), np.asarray(res_chol.points), atol=5e-3
+    )
+    assert abs(float(res_cg.chi2) - float(res_chol.chi2)) < 1e-3 * max(
+        float(res_chol.chi2), 1.0
+    )
+
+
 def test_sharded_ba_under_jit():
     rs = np.random.default_rng(13)
     problem = _problem(rs)
