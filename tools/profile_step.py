@@ -102,7 +102,7 @@ def main():
 
     pose_pred = se3.compose(se3.exp(carry.xi_model), carry.pose)
 
-    def stage_align(last_pyr, cur_pyr, pose, pred, idx, ok):
+    def stage_align(m, last_pyr, cur_pyr, pose, pred, idx, ok):
         pts = m.pt_pos[idx]
         return image_align.compute_pose(
             last_pyr, cur_pyr, intr, pts, ok & m.pt_valid[idx], pose, pred,
@@ -110,7 +110,7 @@ def main():
             iters=max(s.max_img_align_its // 3, 1),
             patch_half=s.align_patch_size // 2).pose
 
-    def stage_match(cur_pyr, pose):
+    def stage_match(m, cur_pyr, pose):
         mr = matcher.match_map_points(
             m, intr, cur_pyr, pose, cell=s.cell_size, use_orb=s.use_orb,
             half=s.patch_size // 2, lk_iters=s.max_align_its,
@@ -118,7 +118,7 @@ def main():
             orb_radius=s.orb_size // 2)
         return mr.px, mr.ok
 
-    def stage_track(cur_pyr, pose, pred):
+    def stage_track(m, carry, cur_pyr, pose, pred):
         tr = tracker.track_frame(
             m, intr, carry.last_pyr, carry.last_idx, carry.last_ok,
             pose, cur_pyr, pred,
@@ -136,7 +136,7 @@ def main():
             orb_radius=s.orb_size // 2)
         return tr.pose, tr.n_matches
 
-    def stage_update_map(cur_pyr, pose):
+    def stage_update_map(m, cur_pyr, pose):
         mm = mapper.update_map(
             m, intr, cur_pyr, pose, n_samples=s.epipolar_samples,
             threshold_converged=s.threshold_converged,
@@ -147,7 +147,7 @@ def main():
             map_scale=s.map_scale, scale_min_dist=s.scale_min_dist)
         return mm.cand_rho, mm.pt_valid
 
-    def stage_keyframe(cur_pyr, pose):
+    def stage_keyframe(m, carry, corners, cur_pyr, pose):
         mm, slot = mapper.add_keyframe(
             m, intr, cur_pyr, pose, carry.frame_id,
             carry.last_idx, m.obs_px[0, carry.last_idx], carry.last_ok,
@@ -166,18 +166,22 @@ def main():
     reps = args.reps
     out = {}
     out["preprocess_ms"] = timeit(jax.jit(preprocess), (img_dev,), reps)
+    # state passed as ARGUMENTS: a closed-over device array is baked into
+    # the executable as a literal and re-crosses the tunnel every launch,
+    # inflating a stage by its state size (same trap as ops/pyramid.py:8-16)
     out["image_align_ms"] = timeit(
         jax.jit(stage_align),
-        (carry.last_pyr, pyr, carry.pose, pose_pred, carry.last_idx,
+        (m, carry.last_pyr, pyr, carry.pose, pose_pred, carry.last_idx,
          carry.last_ok), reps)
     out["match_map_points_ms"] = timeit(
-        jax.jit(stage_match), (pyr, pose_pred), reps)
+        jax.jit(stage_match), (m, pyr, pose_pred), reps)
     out["track_frame_ms"] = timeit(
-        jax.jit(stage_track), (pyr, carry.pose, pose_pred), reps)
+        jax.jit(stage_track), (m, carry, pyr, carry.pose, pose_pred), reps)
     out["update_map_ms"] = timeit(
-        jax.jit(stage_update_map), (pyr, pose_pred), reps)
+        jax.jit(stage_update_map), (m, pyr, pose_pred), reps)
     out["keyframe_plus_local_ba_ms"] = timeit(
-        jax.jit(stage_keyframe), (pyr, pose_pred), max(reps // 4, 4))
+        jax.jit(stage_keyframe), (m, carry, corners, pyr, pose_pred),
+        max(reps // 4, 4))
 
     # fused full step over a chunk, amortized per frame
     chunk = np.stack(frames[n:n + args.chunk])
