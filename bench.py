@@ -102,7 +102,7 @@ def main():
         slam.block()
         window_fps.append(n_window / (time.perf_counter() - t0))
     fps = max(window_fps)
-    print(json.dumps({"windows_fps": [round(f, 1) for f in window_fps]}),
+    print("# windows_fps:", [round(f, 1) for f in window_fps],
           file=sys.stderr)
     n_timed = n_window * n_windows
 
