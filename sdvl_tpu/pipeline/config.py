@@ -79,6 +79,11 @@ class SdvlConfig:
     use_pallas_detect: bool = False  # fused VMEM FAST+Shi-Tomasi kernel
                                   #   (ops/pallas/detect.py) — TPU only;
                                   #   the XLA path is the CI/CPU default
+    use_affine_illum: bool = False  # gain/bias photometric model in direct
+                                  #   alignment (solvers/image_align.py) —
+                                  #   capability the reference lacks; off by
+                                  #   default to mirror its brightness-
+                                  #   constancy assumption
 
 
 @dataclasses.dataclass(frozen=True)

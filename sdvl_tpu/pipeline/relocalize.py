@@ -52,7 +52,7 @@ def relocalize(m: MapState, intr, cur_pyr, pose_guess: jnp.ndarray,
             kf_pyr_l, cur_pyr[level], intr, level,
             pts_k, ok_k, kf_pose, kf_pose, iters,
         )
-        pose, chi2, n = res
+        pose, chi2, n, _illum = res
         chi2 = jnp.where(n > 10, chi2, jnp.inf)
         return pose, chi2
 

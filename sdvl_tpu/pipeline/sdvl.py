@@ -197,6 +197,7 @@ class SDVL:
                 search_px=float(s.search_size), max_matches=s.max_matches,
                 align_patch_half=s.align_patch_size // 2,
                 orb_radius=s.orb_size // 2,
+                affine_illum=s.use_affine_illum,
             )
             m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
             return m, tr

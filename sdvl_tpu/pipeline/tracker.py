@@ -44,6 +44,7 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
                 patch_half: int = 4, lk_iters: int = 10,
                 search_px: float = 6.0, max_matches: int | None = None,
                 align_patch_half: int = 2, orb_radius: int = 15,
+                affine_illum: bool = False,
                 ) -> TrackResult:
     """One tracking step (reference sdvl.cc:179-203 + feature_align.cc).
 
@@ -68,6 +69,7 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
         pose_last, pose_pred,
         max_level=align_max_level, min_level=align_min_level,
         iters=align_iters, patch_half=align_patch_half,
+        affine_illum=affine_illum,
     )
 
     mr = matcher.match_map_points(m, intr, cur_pyr, ia.pose, cell=cell,

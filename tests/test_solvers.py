@@ -78,6 +78,48 @@ def test_image_align_recovers_pose():
     assert np.abs(err).max() < 5e-3, f"pose err {err}"
 
 
+def test_image_align_affine_illumination():
+    """Gain/bias drift breaks brightness-constancy alignment; the affine
+    photometric model (beyond the reference — image_align.cc has none)
+    recovers both the pose and the illumination parameters."""
+    img_ref = make_textured_image(7)
+    pose_ref = se3.identity()
+    xi_true = jnp.asarray([0.04, -0.02, 0.015, 0.003, -0.005, 0.002],
+                          jnp.float32)
+    pose_cur = se3.exp(xi_true)
+    gain, bias = 1.35, 18.0
+    img_cur = np.clip(gain * _render_view(img_ref, pose_ref, pose_cur) + bias,
+                      0, 255)
+
+    pyr_ref = pyramid.build_pyramid(jnp.asarray(img_ref), levels=5)
+    pyr_cur = pyramid.build_pyramid(jnp.asarray(img_cur), levels=5)
+
+    rs = np.random.default_rng(8)
+    px = rs.uniform([60, 60], [580, 420], size=(128, 2)).astype(np.float32)
+    bearings = camera.unproject(INTR, jnp.asarray(px))
+    pts_w = bearings * (5.0 / bearings[:, 2:3])
+
+    kw = dict(max_level=4, min_level=1, iters=15)
+    plain = image_align.compute_pose(
+        pyr_ref, pyr_cur, INTR, pts_w, jnp.ones(128, bool),
+        pose_ref, se3.identity(), **kw)
+    affine = image_align.compute_pose(
+        pyr_ref, pyr_cur, INTR, pts_w, jnp.ones(128, bool),
+        pose_ref, se3.identity(), affine_illum=True, **kw)
+
+    err_plain = np.abs(np.asarray(
+        se3.log(se3.compose(plain.pose, se3.inverse(pose_cur))))).max()
+    err_affine = np.abs(np.asarray(
+        se3.log(se3.compose(affine.pose, se3.inverse(pose_cur))))).max()
+    assert err_affine < 5e-3, f"affine pose err {err_affine}"
+    assert err_affine < err_plain, (err_affine, err_plain)
+    a, b = np.asarray(affine.illum)
+    assert abs((1.0 + a) - gain) < 0.05, f"gain estimate {1 + a} vs {gain}"
+    assert abs(b - bias) < 5.0, f"bias estimate {b} vs {bias}"
+    # the residual with the photometric model must beat brightness-constancy
+    assert float(affine.error) < 0.5 * float(plain.error)
+
+
 def test_pose_irls_with_outliers():
     rs = np.random.default_rng(5)
     pts = rs.uniform([-2, -2, 3], [2, 2, 10], size=(128, 3)).astype(np.float32)

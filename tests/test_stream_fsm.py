@@ -201,3 +201,39 @@ def test_distorted_lens_end_to_end():
     extent = float(np.linalg.norm(np.ptp(p_gt, axis=0)))
     ate = evaluate.ate_rmse(p_est, p_gt, with_scale=True)
     assert ate < 0.03 * max(extent, 1e-6), f"ATE {ate} vs extent {extent}"
+
+
+def test_brightness_drift_with_affine_illum():
+    """Exposure drift across the sequence: with use_affine_illum the direct
+    aligner absorbs the gain/bias change and tracking stays RUNNING with a
+    bounded ATE (capability beyond the reference, which assumes brightness
+    constancy in image_align.cc)."""
+    import dataclasses
+
+    from sdvl_tpu.io import evaluate
+
+    cfg, frames, poses_gt = _setup(n=30)
+    cfg = dataclasses.replace(
+        cfg, sdvl=dataclasses.replace(cfg.sdvl, use_affine_illum=True))
+    # smooth exposure drift AFTER bootstrap (frames 0-4 stay clean so the
+    # two-view init sees comparable images): gain up to 1.4x, bias up to +25
+    drifted = []
+    for i, f in enumerate(frames):
+        t = max(0, i - 4) / max(1, len(frames) - 5)
+        g, b = 1.0 + 0.4 * t, 25.0 * t
+        drifted.append(np.clip(g * np.asarray(f, np.float32) + b, 0, 255))
+    st = SdvlStream(cfg, seed=0)
+    for f in drifted:
+        st.feed(f)
+    r = st.result()
+    assert r.state_name() == "RUNNING"
+    running = r.states == 2
+    assert running.sum() >= 20
+    assert (r.n_matches[running] >= 15).mean() > 0.85
+
+    start = int(np.argmax(running))
+    gt = np.stack(poses_gt[start:])
+    p_gt = evaluate.positions_from_poses(gt)
+    p_est = evaluate.positions_from_poses(r.trajectory[start:])
+    ate = evaluate.ate_rmse(p_est, p_gt, with_scale=True)
+    assert ate < 0.05 * 4.0, f"ATE {ate}"  # 5% of scene depth
