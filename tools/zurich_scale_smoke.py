@@ -1,0 +1,160 @@
+"""Zurich-preset scale smoke on the real chip: max_keyframes=1000.
+
+Evidence for the long-trajectory axis (SURVEY.md §5 "map-size scaling";
+reference config_zurich.cfg sets max_keyframes=1000, map.cc:190-205 evicts
+beyond it): allocates the FULL Zurich-capacity MapState at 640x480 — the
+uint8 keyframe store is what makes this fit (~0.4 GB; f32 would be ~1.6 GB
+— state/map_state.py) — fills hundreds of keyframe slots with real
+rendered views, and runs the matrix-free block-Jacobi PCG global BA
+(solvers/ba.py above CG_KF_THRESHOLD=200 slots the dense (6K,6K) reduced
+system is never materialized). Prints one JSON line with state sizes,
+BA wall time, and the post-BA mean reprojection error.
+
+Usage: python tools/zurich_scale_smoke.py [--kf 320] [--pts 4096]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kf", type=int, default=320,
+                    help="keyframes to actually populate (capacity is 1000)")
+    ap.add_argument("--pts", type=int, default=4096)
+    ap.add_argument("--stage-iters", type=int, nargs=2, default=(4, 6))
+    args = ap.parse_args()
+
+    from sdvl_tpu.core import camera, se3
+    from sdvl_tpu.io.synthetic import PlaneScene
+    from sdvl_tpu.ops import pyramid
+    from sdvl_tpu.pipeline import mapper
+    from sdvl_tpu.state.map_state import empty_map, store_pyramid
+
+    K_CAP, P, LEVELS = 1000, args.pts, 5
+    H, W = 480, 640
+    intr = camera.Intrinsics.create(517.3, 516.5, 318.6, 255.3,
+                                    width=W, height=H)
+    scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                       width=W, height=H, plane_z=4.0)
+
+    m = empty_map(n_kf=K_CAP, n_pts=P, n_cand=8, img_shape=(H, W),
+                  levels=LEVELS)
+    state_bytes = sum(np.prod(x.shape) * x.dtype.itemsize
+                      for x in jax.tree_util.tree_leaves(m))
+
+    # world points on the plane, observed by a long keyframe trajectory
+    rs = np.random.default_rng(0)
+    pts_w = np.concatenate([
+        rs.uniform([-3.5, -2.5], [3.5, 2.5], (P, 2)), np.full((P, 1), 4.0),
+    ], axis=1).astype(np.float32)
+
+    Kn = args.kf
+    kf_poses = np.stack([
+        np.asarray(scene.trajectory(Kn, translation_amp=1.5)[k])
+        for k in range(Kn)
+    ]).astype(np.float32)
+
+    @jax.jit
+    def fill(m, kf_poses, pts_w, imgs):
+        p_cam = se3.transform(kf_poses[:, None], pts_w[None])   # (Kn,P,3)
+        px = jax.vmap(lambda pc: camera.project(intr, pc))(p_cam)
+        vis = ((p_cam[..., 2] > 0.1)
+               & jax.vmap(lambda q: camera.in_bounds(intr, q, margin=8))(px))
+        kf_ids = jnp.arange(Kn, dtype=jnp.int32)
+        kf_pyr = m.kf_pyr
+        pyrs = jax.vmap(lambda im: tuple(
+            store_pyramid(pyramid.build_pyramid(im, LEVELS))))(imgs)
+        kf_pyr = tuple(
+            lvl.at[:Kn].set(p) for lvl, p in zip(kf_pyr, pyrs)
+        )
+        return m._replace(
+            kf_pose=m.kf_pose.at[:Kn].set(kf_poses),
+            kf_valid=m.kf_valid.at[:Kn].set(True),
+            kf_frame_id=m.kf_frame_id.at[:Kn].set(kf_ids),
+            kf_pyr=kf_pyr,
+            n_keyframes=jnp.asarray(Kn, jnp.int32),
+            pt_pos=jnp.asarray(pts_w),
+            pt_valid=jnp.ones(P, bool),
+            pt_anchor_kf=jnp.zeros(P, jnp.int32),
+            pt_found=jnp.full(P, 3, jnp.int32),
+            obs_mask=m.obs_mask.at[:Kn].set(vis),
+            obs_px=m.obs_px.at[:Kn].set(px + 0.3),  # ~0.3px measurement noise
+        )
+
+    imgs = np.stack([
+        np.clip(scene.render(p), 0, 255).astype(np.float32)
+        for p in kf_poses
+    ])
+    m = fill(m, jnp.asarray(kf_poses), jnp.asarray(pts_w), jnp.asarray(imgs))
+    jax.block_until_ready(m.kf_pose)
+
+    # perturb poses+points, then PCG global BA must pull them back
+    key = jax.random.PRNGKey(1)
+    dk, pk = jax.random.split(key)
+
+    @jax.jit
+    def perturb(m, dk, pk):
+        noise = 0.01 * jax.random.normal(dk, (K_CAP, 6))
+        noise = noise.at[:2].set(0.0)  # gauge: first two fixed by BA anyway
+        poses = jax.vmap(lambda p, x: se3.compose(se3.exp(x), p))(
+            m.kf_pose, noise)
+        pts = m.pt_pos + 0.02 * jax.random.normal(pk, m.pt_pos.shape)
+        return m._replace(kf_pose=poses, pt_pos=pts)
+
+    m_noisy = perturb(m, dk, pk)
+
+    @jax.jit
+    def reproj_err(m):
+        p_cam = se3.transform(m.kf_pose[:, None], m.pt_pos[None])
+        px = jax.vmap(lambda pc: camera.project(intr, pc))(p_cam)
+        e = jnp.linalg.norm(px - m.obs_px, axis=-1)
+        w = m.obs_mask & m.kf_valid[:, None] & m.pt_valid[None, :]
+        return jnp.sum(jnp.where(w, e, 0)) / jnp.maximum(jnp.sum(w), 1)
+
+    e0 = float(reproj_err(m_noisy))
+    ba_fn = jax.jit(lambda mm: mapper.global_ba(
+        mm, intr, stage_iters=tuple(args.stage_iters)))
+    t0 = time.perf_counter()
+    m_ba = ba_fn(m_noisy)
+    jax.block_until_ready(m_ba.kf_pose)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m_ba = ba_fn(m_noisy)
+    jax.block_until_ready(m_ba.kf_pose)
+    t_warm = time.perf_counter() - t0
+    e1 = float(reproj_err(m_ba))
+
+    out = {
+        "kf_capacity": K_CAP,
+        "kf_filled": Kn,
+        "points": P,
+        "state_gb": round(state_bytes / 1e9, 3),
+        "reproj_px_before": round(e0, 3),
+        "reproj_px_after": round(e1, 3),
+        "ba_s_compile+run": round(t_first, 1),
+        "ba_s_warm": round(t_warm, 2),
+    }
+    print(json.dumps(out))
+    assert e1 < 0.35 * e0, (e0, e1)
+    print("zurich_scale_smoke OK")
+
+
+if __name__ == "__main__":
+    main()
