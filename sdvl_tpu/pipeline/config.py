@@ -134,7 +134,16 @@ def _parse_opencv_yaml(path: str) -> dict:
                     try:
                         out[key] = float(raw)
                     except ValueError:
-                        out[key] = raw
+                        # tolerate a stray internal space in a numeric
+                        # scalar (reference config_iclnuim.cfg:37 reads
+                        # "max_keyframes: 100 0" — a typo for the 1000
+                        # every other preset uses); the value must come
+                        # out an int because capacities are static shapes
+                        packed = raw.replace(" ", "")
+                        try:
+                            out[key] = int(packed)
+                        except ValueError:
+                            out[key] = raw
     return out
 
 
