@@ -68,6 +68,10 @@ def main(argv=None):
                          "at end of run (the reference tops out at 11-KF "
                          "local BA) and rebase the trajectory by each "
                          "keyframe's correction")
+    ap.add_argument("--localize", default=None, metavar="SNAPSHOT",
+                    help="with --stream: localization-only serving against "
+                         "the frozen map in a stream snapshot (session "
+                         "starts LOST and relocalizes)")
     ap.add_argument("--stream", action="store_true",
                     help="device-resident FSM: one fused launch per frame, "
                          "no host round trips until the end (the fast path "
@@ -153,6 +157,8 @@ def main(argv=None):
             frames = frame_source(paths, cfg.camera.width, cfg.camera.height,
                                   prefer_native=not args.no_native_loader)
 
+    if args.localize and not args.stream:
+        ap.error("--localize requires --stream (device-FSM serving path)")
     if args.stream:
         if args.live:
             print("[WARN] --live needs per-frame host state; ignored "
@@ -391,7 +397,12 @@ def _run_stream(args, cfg, frames, gt_poses=None):
 
     from ..pipeline.stream import STATE_NAMES, SdvlStream
 
-    slam = SdvlStream(cfg)
+    if args.localize:
+        slam = SdvlStream.localizer(cfg, args.localize)
+        print(f"[INFO] localization-only session against frozen map "
+              f"{args.localize}")
+    else:
+        slam = SdvlStream(cfg)
 
     def _u8(img):
         # uint8 on the wire: 4x fewer host->device bytes than f32 (the

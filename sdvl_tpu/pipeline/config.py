@@ -84,6 +84,14 @@ class SdvlConfig:
                                   #   capability the reference lacks; off by
                                   #   default to mirror its brightness-
                                   #   constancy assumption
+    localize_only: bool = False   # serving mode: track against a frozen,
+                                  #   prebuilt map (loaded from a snapshot)
+                                  #   — the whole mapping stage (depth
+                                  #   filters, keyframes, BA, pruning) is
+                                  #   dropped from the compiled step and
+                                  #   the session starts in LOST so the
+                                  #   first frame relocalizes. No reference
+                                  #   analogue (it cannot persist a map)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +108,14 @@ class Config:
     sdvl: SdvlConfig = SdvlConfig()
     video: VideoConfig = VideoConfig()
 
+
+# boolean knobs get explicit truthiness coercion in load_cfg ("false"/"0"
+# must not truthy-convert to True); with `from __future__ import
+# annotations` dataclass field types are strings
+_BOOL_FIELDS = frozenset(
+    f.name for f in dataclasses.fields(SdvlConfig)
+    if f.type in (bool, "bool")
+)
 
 _KEYMAP = {
     # SDVL.* cfg key -> SdvlConfig field (only where names differ)
@@ -174,7 +190,7 @@ def load_cfg(path: str) -> Config:
         name = key[5:]
         name = _KEYMAP.get(name, name)
         if name in fields:
-            if name.startswith("use_"):
+            if name in _BOOL_FIELDS:
                 # the cfg parser leaves unquoted non-numeric values as
                 # strings; bool("false") would be True
                 if isinstance(value, str):

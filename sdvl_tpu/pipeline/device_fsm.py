@@ -345,7 +345,10 @@ def make_step(cfg: Config, undistort: bool):
             orb_radius=s.orb_size // 2,
             affine_illum=s.use_affine_illum,
         )
-        m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
+        if not s.localize_only:
+            # frozen-map serving must not age out points that happen to be
+            # unobserved from the query viewpoints
+            m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
 
         ratio = tr.n_matches / jnp.maximum(tr.n_attempts, 1)
         quality = jnp.where(
@@ -382,6 +385,8 @@ def make_step(cfg: Config, undistort: bool):
             )
             is_kf = (((frames_since_kf >= s.min_keyframe_its) & (lost > 0.1))
                      | (lost > 0.3))
+            if s.localize_only:
+                is_kf = jnp.asarray(False)
 
             def with_kf(m):
                 m, slot = mapper.add_keyframe(
@@ -405,16 +410,19 @@ def make_step(cfg: Config, undistort: bool):
                 # frame (reference map.cc:121 non-KF iterations)
                 return mapper.prune_weak_points(m)
 
-            m = jax.lax.cond(is_kf, with_kf, lambda m: m, m)
-            m = mapper.update_map(
-                m, intr, pyr, tr.pose, n_samples=s.epipolar_samples,
-                threshold_converged=s.threshold_converged,
-                max_failed=s.max_failed, use_orb=s.use_orb,
-                patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
-                orb_radius=s.orb_size // 2,
-                stale_kf_window=2 * s.max_search_keyframes,
-                map_scale=s.map_scale, scale_min_dist=s.scale_min_dist,
-            )
+            if not s.localize_only:
+                # mapping stage — compiled out entirely in localize_only
+                # serving (the map is immutable; the step is pure tracking)
+                m = jax.lax.cond(is_kf, with_kf, lambda m: m, m)
+                m = mapper.update_map(
+                    m, intr, pyr, tr.pose, n_samples=s.epipolar_samples,
+                    threshold_converged=s.threshold_converged,
+                    max_failed=s.max_failed, use_orb=s.use_orb,
+                    patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
+                    orb_radius=s.orb_size // 2,
+                    stale_kf_window=2 * s.max_search_keyframes,
+                    map_scale=s.map_scale, scale_min_dist=s.scale_min_dist,
+                )
             carry = carry._replace(
                 pose=tr.pose,
                 xi_model=xi_model,
@@ -438,7 +446,13 @@ def make_step(cfg: Config, undistort: bool):
     def step(m: MapState, carry: SlamCarry, img, grid):
         pyr, corners = preprocess(img, grid)
 
-        branches = [first_frame, second_frame, running, running]
+        # localize_only sessions start in LOST against a loaded map; the
+        # bootstrap states are unreachable, so compiling them out shrinks
+        # the program to pure tracking + relocalization
+        if s.localize_only:
+            branches = [running, running, running, running]
+        else:
+            branches = [first_frame, second_frame, running, running]
         m, carry, info = jax.lax.switch(
             jnp.clip(carry.state, 0, 3), branches, m, carry, pyr, corners
         )

@@ -109,6 +109,39 @@ class SdvlStream:
         self._donate = donate_args
         self._infos: List[FrameInfo] = []
 
+    # --------------------------------------------------------- serving
+    @classmethod
+    def localizer(cls, config: Config, snapshot_path: str,
+                  seed: int = 0, donate: bool = True) -> "SdvlStream":
+        """Localization-only serving session against a frozen, prebuilt map.
+
+        Loads a stream snapshot (io.snapshot.save_stream_snapshot) produced
+        by a SLAM session with the same capacities, freezes its map
+        (``localize_only`` compiles the mapping stage out of the step
+        entirely), and starts in LOST so the first frame relocalizes
+        against the loaded keyframes. Capability the reference lacks: it
+        has no map persistence, so every run must re-map (SURVEY.md §5
+        "Checkpoint / resume: none").
+        """
+        import dataclasses
+
+        from ..io.snapshot import load_stream_snapshot
+
+        if not config.sdvl.localize_only:
+            config = dataclasses.replace(
+                config,
+                sdvl=dataclasses.replace(config.sdvl, localize_only=True),
+            )
+        stream = cls(config, seed=seed, donate=donate)
+        load_stream_snapshot(stream, snapshot_path)
+        stream.carry = stream.carry._replace(
+            state=jnp.asarray(STATE_LOST, jnp.int32),
+            lost_frames=jnp.asarray(3, jnp.int32),
+            xi_model=jnp.zeros(6, jnp.float32),
+        )
+        stream._infos = []
+        return stream
+
     # ------------------------------------------------------------- feeding
     def _prep(self, img: np.ndarray) -> np.ndarray:
         img = np.asarray(img)[: self.crop_h, : self.crop_w]
