@@ -29,8 +29,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline.config import Config
-from ..pipeline.device_fsm import (FrameInfo, SlamCarry, init_state,
-                                   make_step)
+from ..pipeline.device_fsm import (FrameInfo, STATE_LOST, SlamCarry,
+                                   init_state, make_step)
 from ..pipeline.stream import SlamResult, _rebase_trajectory
 
 
@@ -47,11 +47,28 @@ class MultiStream:
     """
 
     def __init__(self, config: Config, mesh: Mesh, n_streams: int,
-                 seed: int = 0, axis: str = "stream"):
+                 seed: int = 0, axis: str = "stream",
+                 frozen_map: str | tuple | None = None):
+        """``frozen_map`` switches to shared-map localization serving: a
+        stream snapshot path (or a preloaded ``(MapState, SlamCarry)``
+        tuple) whose map is replicated ONCE per device and shared
+        read-only by every local stream — per-stream state shrinks to the
+        SlamCarry. At Zurich capacity the map is ~0.46 GB, so 4 query
+        streams/chip cost 0.46 GB instead of 1.85 GB of replicas. Implies
+        ``localize_only`` (the step never writes the map; sessions start
+        LOST and relocalize)."""
         if n_streams % mesh.shape[axis] != 0:
             raise ValueError(
                 f"n_streams={n_streams} not divisible by mesh axis "
                 f"{axis}={mesh.shape[axis]}"
+            )
+        self.frozen = frozen_map is not None
+        if self.frozen and not config.sdvl.localize_only:
+            import dataclasses
+
+            config = dataclasses.replace(
+                config,
+                sdvl=dataclasses.replace(config.sdvl, localize_only=True),
             )
         self.cfg = config
         self.mesh = mesh
@@ -63,18 +80,66 @@ class MultiStream:
         self.crop_h, self.crop_w = (H // div) * div, (W // div) * div
 
         states = [init_state(config, seed=seed + i) for i in range(n_streams)]
-        stacked_m = _stack_states([m for m, _ in states])
-        stacked_c = _stack_states([c for _, c in states])
-
         shard = NamedSharding(mesh, P(axis))
-        self.m = jax.device_put(
-            stacked_m, jax.tree_util.tree_map(lambda _: shard, stacked_m)
-        )
+        if self.frozen:
+            from ..io.snapshot import load_stream_arrays
+
+            m0, c_snap = (frozen_map if isinstance(frozen_map, tuple)
+                          else load_stream_arrays(frozen_map))
+            if m0.capacities != states[0][0].capacities:
+                raise ValueError(
+                    f"snapshot capacities {m0.capacities} != config "
+                    f"{states[0][0].capacities}"
+                )
+            carries = [
+                c._replace(
+                    state=jnp.asarray(STATE_LOST, jnp.int32),
+                    lost_frames=jnp.asarray(3, jnp.int32),
+                    pose=jnp.asarray(np.asarray(c_snap.pose)),
+                )
+                for _, c in states
+            ]
+            stacked_c = _stack_states(carries)
+            replicated = NamedSharding(mesh, P())
+            self.m = jax.device_put(
+                m0, jax.tree_util.tree_map(lambda _: replicated, m0)
+            )
+        else:
+            stacked_m = _stack_states([m for m, _ in states])
+            stacked_c = _stack_states([c for _, c in states])
+            self.m = jax.device_put(
+                stacked_m,
+                jax.tree_util.tree_map(lambda _: shard, stacked_m),
+            )
         self.carry = jax.device_put(
             stacked_c, jax.tree_util.tree_map(lambda _: shard, stacked_c)
         )
 
         step = make_step(config, undistort=False)
+
+        def frozen_step(m, carry, imgs):
+            # m is the SHARED read-only map (no stream dim); localize_only
+            # steps never write it, so the returned m is dropped and XLA
+            # DCEs any map-output plumbing
+            def one(c1, img1):
+                _, c1, info = step(m, c1, img1,
+                                   jnp.zeros((1, 1, 2), jnp.float32))
+                return c1, info
+
+            local = carry.frame_id.shape[0]
+            outs = [
+                one(jax.tree_util.tree_map(lambda x: x[i], carry), imgs[i])
+                for i in range(local)
+            ]
+            cs, infos = zip(*outs)
+            return _stack_states(cs), _stack_states(infos)
+
+        def frozen_chunk(m, carry, imgs):
+            def body(c, imgs_t):
+                return frozen_step(m, c, imgs_t)
+
+            carry, infos = jax.lax.scan(body, carry, imgs)
+            return carry, infos
 
         def sharded_step(m, carry, imgs):
             # local shapes: leading dim = n_streams / mesh_size
@@ -105,7 +170,9 @@ class MultiStream:
             (m, carry), infos = jax.lax.scan(body, (m, carry), imgs)
             return m, carry, infos
 
-        specs_m = jax.tree_util.tree_map(lambda _: P(axis), self.m)
+        specs_m = jax.tree_util.tree_map(
+            lambda _: P() if self.frozen else P(axis), self.m
+        )
         specs_c = jax.tree_util.tree_map(lambda _: P(axis), self.carry)
         out_info_spec = jax.tree_util.tree_map(
             lambda _: P(axis),
@@ -115,31 +182,55 @@ class MultiStream:
             lambda _: P(None, axis),
             FrameInfo(*([0] * len(FrameInfo._fields))),
         )
-        self._step = jax.jit(
-            jax.shard_map(
-                sharded_step, mesh=mesh,
-                in_specs=(specs_m, specs_c, P(axis)),
-                out_specs=(specs_m, specs_c, out_info_spec),
-                check_vma=False,
-            ),
-            donate_argnums=(0, 1),
-        )
-        self._chunk_step = jax.jit(
-            jax.shard_map(
-                sharded_chunk, mesh=mesh,
-                in_specs=(specs_m, specs_c, P(None, axis)),
-                out_specs=(specs_m, specs_c, out_chunk_spec),
-                check_vma=False,
-            ),
-            donate_argnums=(0, 1),
-        )
+        if self.frozen:
+            # map replicated (P()), never donated, never returned
+            self._step = jax.jit(
+                jax.shard_map(
+                    frozen_step, mesh=mesh,
+                    in_specs=(specs_m, specs_c, P(axis)),
+                    out_specs=(specs_c, out_info_spec),
+                    check_vma=False,
+                ),
+                donate_argnums=(1,),
+            )
+            self._chunk_step = jax.jit(
+                jax.shard_map(
+                    frozen_chunk, mesh=mesh,
+                    in_specs=(specs_m, specs_c, P(None, axis)),
+                    out_specs=(specs_c, out_chunk_spec),
+                    check_vma=False,
+                ),
+                donate_argnums=(1,),
+            )
+        else:
+            self._step = jax.jit(
+                jax.shard_map(
+                    sharded_step, mesh=mesh,
+                    in_specs=(specs_m, specs_c, P(axis)),
+                    out_specs=(specs_m, specs_c, out_info_spec),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1),
+            )
+            self._chunk_step = jax.jit(
+                jax.shard_map(
+                    sharded_chunk, mesh=mesh,
+                    in_specs=(specs_m, specs_c, P(None, axis)),
+                    out_specs=(specs_m, specs_c, out_chunk_spec),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1),
+            )
         # entries: (is_chunk, FrameInfo with leaves (N, ...) or (T, N, ...))
         self._infos: List[tuple] = []
 
     def feed(self, imgs: np.ndarray, block: bool = False) -> FrameInfo:
         """Process one frame per stream: ``imgs`` is (N, H, W)."""
         imgs = np.asarray(imgs)[:, : self.crop_h, : self.crop_w]
-        self.m, self.carry, info = self._step(self.m, self.carry, imgs)
+        if self.frozen:
+            self.carry, info = self._step(self.m, self.carry, imgs)
+        else:
+            self.m, self.carry, info = self._step(self.m, self.carry, imgs)
         self._infos.append((False, info))
         if block:
             jax.block_until_ready(info.pose)
@@ -150,9 +241,12 @@ class MultiStream:
         (T, N, H, W). The scan runs inside the shard, so dispatch cost
         amortizes over T like SdvlStream.feed_chunk does for one stream."""
         imgs = np.asarray(imgs)[:, :, : self.crop_h, : self.crop_w]
-        self.m, self.carry, infos = self._chunk_step(
-            self.m, self.carry, imgs
-        )
+        if self.frozen:
+            self.carry, infos = self._chunk_step(self.m, self.carry, imgs)
+        else:
+            self.m, self.carry, infos = self._chunk_step(
+                self.m, self.carry, imgs
+            )
         self._infos.append((True, infos))
         if block:
             jax.block_until_ready(infos.pose)

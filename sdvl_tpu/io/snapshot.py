@@ -234,20 +234,31 @@ def save_stream_snapshot(stream, path: str) -> None:
         raise
 
 
-def load_stream_snapshot(stream, path: str):
-    """Restore a stream session; capacities must match the config."""
+def load_stream_arrays(path: str):
+    """Load a stream snapshot's (MapState, SlamCarry) as host trees.
+
+    Session-independent form of :func:`load_stream_snapshot` — used by the
+    shared-map multi-stream localizer, which replicates ONE MapState per
+    device instead of binding it to a session object.
+    """
     from ..pipeline.device_fsm import SlamCarry
 
     with np.load(path) as z:
         host = json.loads(bytes(z["host_json"]).decode())
         if host.get("format_version") != FORMAT_VERSION:
             raise ValueError(f"snapshot format {host.get('format_version')}")
-        m = _tree_from_arrays("map", MapState, z)
-        if m.capacities != stream.m.capacities:
-            raise ValueError(
-                f"snapshot capacities {m.capacities} != config "
-                f"{stream.m.capacities}"
-            )
-        stream.m = m
-        stream.carry = _tree_from_arrays("carry", SlamCarry, z)
+        return (_tree_from_arrays("map", MapState, z),
+                _tree_from_arrays("carry", SlamCarry, z))
+
+
+def load_stream_snapshot(stream, path: str):
+    """Restore a stream session; capacities must match the config."""
+    m, carry = load_stream_arrays(path)
+    if m.capacities != stream.m.capacities:
+        raise ValueError(
+            f"snapshot capacities {m.capacities} != config "
+            f"{stream.m.capacities}"
+        )
+    stream.m = m
+    stream.carry = carry
     return stream

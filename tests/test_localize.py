@@ -63,11 +63,11 @@ def served(tmp_path_factory):
     r = loc.result()
     map_after = [np.asarray(x) for x in
                  jax.tree_util.tree_leaves(loc.m)]
-    return cfg, frames, poses_gt, r, map_before, map_after
+    return cfg, frames, poses_gt, r, map_before, map_after, snap
 
 
 def test_relocalizes_and_tracks(served):
-    _, frames, _, r, _, _ = served
+    _, frames, _, r, _, _, _ = served
     assert r.state_name() == "RUNNING"
     running = r.states == 2
     # recovery within a few frames, then stays tracking
@@ -77,14 +77,14 @@ def test_relocalizes_and_tracks(served):
 
 
 def test_map_is_frozen(served):
-    *_, before, after = served
+    *_, before, after, _ = served
     assert len(before) == len(after)
     for a, b in zip(before, after):
         np.testing.assert_array_equal(a, b)
 
 
 def test_localized_poses_accurate(served):
-    _, _, poses_gt, r, _, _ = served
+    _, _, poses_gt, r, _, _, _ = served
     running = r.states == 2
     gt = np.stack(poses_gt[8:])[running]
     p_gt = evaluate.positions_from_poses(gt)
@@ -92,6 +92,37 @@ def test_localized_poses_accurate(served):
     extent = float(np.linalg.norm(np.ptp(p_gt, axis=0)))
     ate = evaluate.ate_rmse(p_est, p_gt, with_scale=True)
     assert ate < 0.05 * max(extent, 1e-6), f"ATE {ate} vs extent {extent}"
+
+
+def test_shared_map_multistream(served):
+    """N query streams share ONE replicated frozen map per device.
+
+    The map has no stream dimension (P() replication) — per-stream state
+    is only the SlamCarry, so serving density is bounded by carries, not
+    map replicas (at Zurich capacity: 0.46 GB shared vs 1.85 GB for 4
+    replicas)."""
+    from jax.sharding import Mesh
+
+    from sdvl_tpu.dist.multi_stream import MultiStream
+    from sdvl_tpu.io import evaluate
+
+    cfg, frames, poses_gt, _, _, _, snap = served
+    mesh = Mesh(np.array(jax.devices()[:2]), ("stream",))
+    ms = MultiStream(cfg, mesh, n_streams=4, seed=7, frozen_map=snap)
+    # shared map: the device value must carry no stream dim
+    assert ms.m.kf_valid.ndim == 1
+    stack = np.stack([np.asarray(f) for f in frames[8:20]])
+    ms.feed_chunk(np.repeat(stack[:, None], 4, axis=1))   # (T, 4, H, W)
+    gt = np.stack(poses_gt[8:20])
+    p_gt = evaluate.positions_from_poses(gt)
+    extent = float(np.linalg.norm(np.ptp(p_gt, axis=0)))
+    for res in ms.result():
+        assert res.state_name() == "RUNNING"
+        running = res.states == 2
+        assert running[-4:].all()
+        p_est = evaluate.positions_from_poses(res.trajectory[running])
+        ate = evaluate.ate_rmse(p_est, p_gt[running], with_scale=True)
+        assert ate < 0.08 * max(extent, 1e-6), f"ATE {ate} / {extent}"
 
 
 def test_localize_only_flag_roundtrips_config():
