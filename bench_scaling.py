@@ -31,13 +31,7 @@ jax.config.update(
 )
 
 
-def run(n_devices: int, streams_per_device: int = 1,
-        n_warm: int = 12, n_timed: int = 48, size=(320, 240), mesh=None,
-        chunk: int = 1):
-    import jax  # noqa: E402
-
-    from sdvl_tpu.dist.mesh import make_mesh
-    from sdvl_tpu.dist.multi_stream import MultiStream
+def _scene_cfg(size):
     from sdvl_tpu.io.synthetic import PlaneScene
     from sdvl_tpu.pipeline.config import (CameraConfig, Config,  # noqa: E402
                                           SdvlConfig)
@@ -54,10 +48,22 @@ def run(n_devices: int, streams_per_device: int = 1,
                         max_points=512, max_candidates=256, min_matches=15,
                         map_scale=4.0),
     )
+    return cfg, scene
+
+
+def run(n_devices: int, streams_per_device: int = 1,
+        n_warm: int = 12, n_timed: int = 48, size=(320, 240), mesh=None,
+        chunk: int = 1, frozen_map=None):
+    import jax  # noqa: E402
+
+    from sdvl_tpu.dist.mesh import make_mesh
+    from sdvl_tpu.dist.multi_stream import MultiStream
+
+    cfg, scene = _scene_cfg(size)
     B = n_devices * streams_per_device
     if mesh is None:
         mesh = make_mesh(n_devices, axis="stream")
-    ms = MultiStream(cfg, mesh, n_streams=B, seed=0)
+    ms = MultiStream(cfg, mesh, n_streams=B, seed=0, frozen_map=frozen_map)
     if chunk > 1:  # round phases up to whole chunks
         # >= 2 warm chunks: the SECOND launch recompiles (the donated
         # state buffers come back with a different layout than the initial
@@ -202,6 +208,51 @@ def _single_ref():
     }), flush=True)
 
 
+def _mk_snapshot(path: str, size):
+    """Build a map on the exact `_scene_cfg` config and checkpoint it.
+
+    Runs in its OWN process (spawned by --serving --frozen): snapshotting
+    transfers device->host, which on the tunnel runtime permanently
+    degrades launch latency in-process — the serving measurement must not
+    share a process with it."""
+    from sdvl_tpu.io.snapshot import save_stream_snapshot
+    from sdvl_tpu.pipeline.stream import SdvlStream
+
+    cfg, scene = _scene_cfg(size)
+    slam = SdvlStream(cfg, seed=0)
+    for p in scene.trajectory(40, translation_amp=1.0):
+        slam.feed(np.clip(scene.render(p), 0, 255).astype(np.uint8))
+    r = slam.result()
+    assert r.state_name() == "RUNNING", r.state_name()
+    save_stream_snapshot(slam, path)
+    print(f"# snapshot written: {path}", flush=True)
+
+
+def _serving_frozen(n_streams: int, chunk: int = 16):
+    """Serving density in localization-only mode: N query streams share
+    ONE frozen map on the chip (no per-stream replicas, mapping compiled
+    out). Map build happens in a child process; this process only serves."""
+    import subprocess
+    import tempfile
+
+    snap = os.path.join(tempfile.mkdtemp(prefix="sdvl_frozen_"), "map.npz")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--mk-snapshot", snap, "--mk-size", "640x480"],
+        timeout=900,
+    )
+    assert r.returncode == 0, "map-build child failed"
+    fps = run(1, streams_per_device=n_streams, n_warm=2 * chunk,
+              n_timed=192, size=(640, 480), chunk=chunk, frozen_map=snap)
+    print(json.dumps({
+        "metric": "serving_fps_per_chip_frozen_map",
+        "streams": n_streams,
+        "chunk": chunk,
+        "value": round(fps, 2),
+        "per_stream": round(fps / n_streams, 2),
+    }), flush=True)
+
+
 def _serving(n_streams: int, chunk: int = 16):
     """Single-chip serving density: aggregate tracked fps with N full
     SLAM sessions batched on ONE device (shard_map local unroll). Same
@@ -256,6 +307,13 @@ if __name__ == "__main__":
     ap.add_argument("--serving", type=int, default=0, metavar="N_STREAMS",
                     help="single-chip serving density: aggregate fps with "
                          "N full sessions batched on one device")
+    ap.add_argument("--frozen", action="store_true",
+                    help="with --serving: localization-only streams "
+                         "sharing ONE frozen map (built by a child "
+                         "process) instead of N full SLAM sessions")
+    ap.add_argument("--mk-snapshot", default=None, metavar="PATH",
+                    help="internal: build+checkpoint a map, then exit")
+    ap.add_argument("--mk-size", default="640x480")
     ap.add_argument("--single-ref", action="store_true")
     ap.add_argument("--mh-worker-id", type=int, default=None)
     ap.add_argument("--mh-nproc", type=int)
@@ -264,6 +322,11 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.mh_worker_id is not None:
         _multihost_worker(a)
+    elif a.mk_snapshot:
+        w, h = a.mk_size.split("x")
+        _mk_snapshot(a.mk_snapshot, (int(w), int(h)))
+    elif a.serving and a.frozen:
+        _serving_frozen(a.serving, chunk=a.chunk if a.chunk > 1 else 16)
     elif a.serving:
         _serving(a.serving, chunk=a.chunk if a.chunk > 1 else 16)
     elif a.single_ref:
