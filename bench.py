@@ -41,28 +41,30 @@ import numpy as np  # noqa: E402
 # JAX_COMPILATION_CACHE_DIR env var: on jax 0.9.0 an env var set after
 # process start (os.environ.setdefault) is silently ignored, which is how
 # round 2's cold run spent ~410 s compiling the fused chunk step and blew
-# the harness timeout. The directory is tracked in git so a fresh checkout
-# benches warm (~40 s); delete it to measure cold-compile cost.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 ".jax_cache_bench"),
-)
+# the harness timeout. The directory is NOT tracked in git (host/version
+# -pinned binaries don't belong in source control); on a cold checkout
+# main() shells out to tools/warm_cache.py for one explicit warm-compile
+# pass before timing (so the timed windows always run from a warm cache).
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache_bench")
+jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
-    from sdvl_tpu.io.synthetic import PlaneScene  # noqa: E402
-    from sdvl_tpu.pipeline.config import (CameraConfig, Config,  # noqa: E402
-                                          SdvlConfig)
-    from sdvl_tpu.pipeline.stream import SdvlStream  # noqa: E402
+def cache_is_warm() -> bool:
+    """True if a fused chunk-step executable is already cached."""
+    try:
+        return any(n.startswith("jit_chunk_step")
+                   for n in os.listdir(CACHE_DIR))
+    except OSError:
+        return False
 
-    chunk = 16      # frames per fused lax.scan launch
-    n_warm = 16     # one warmup chunk: bootstrap + compile everything
-    n_window = 240  # frames per timed window
-    n_windows = 4   # best window wins (tunnel bandwidth varies 2-5x
-                    # run-to-run for identical code; the best window is the
-                    # framework's throughput, the rest is shared-link noise)
+
+def make_setup():
+    """The benchmark scene + config, shared with tools/warm_cache.py so the
+    warm pass compiles exactly the programs the timed run loads."""
+    from sdvl_tpu.io.synthetic import PlaneScene
+    from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
 
     scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                        width=640, height=480, plane_z=4.0)
@@ -74,6 +76,31 @@ def main():
                         max_points=2048, max_candidates=512,
                         map_scale=4.0),
     )
+    return scene, cfg
+
+
+def main():
+    from sdvl_tpu.pipeline.stream import SdvlStream  # noqa: E402
+
+    if not cache_is_warm():
+        # One explicit warm-compile pass in a subprocess so a cold checkout
+        # still produces a warm-cache timing (and rc=0) in one invocation.
+        import subprocess
+        print("# cold cache: running tools/warm_cache.py", file=sys.stderr)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "warm_cache.py")],
+            check=True, stdout=sys.stderr)
+
+    chunk = 16      # frames per fused lax.scan launch
+    n_warm = 16     # one warmup chunk: bootstrap + compile everything
+    n_window = 240  # frames per timed window
+    n_windows = 4   # best window wins (tunnel bandwidth varies 2-5x
+                    # run-to-run for identical code; the best window is the
+                    # framework's throughput, the rest is shared-link noise)
+
+    scene, cfg = make_setup()
     slam = SdvlStream(cfg, seed=0)
 
     n_total = n_warm + n_window * n_windows
