@@ -322,18 +322,31 @@ def check_redundant_keyframes(m: MapState) -> MapState:
     """Prune keyframes whose points are redundantly observed.
 
     Mirrors Map::CheckRedundantKeyframes (map.cc:619-687): a keyframe whose
-    observed points are >=80% also seen by >=3 other keyframes is dropped.
-    Scale-comparison subtleties of the reference are approximated by plain
-    observation counts (we don't store per-obs scale ratios). The newest two
-    keyframes are protected.
+    observed points are >=80% also seen by >=3 *other* keyframes **at the
+    same or finer scale** (map.cc:667 ``level2 <= level1+1``) is dropped.
+    The scale test matters: a point re-observed only from far away (coarse
+    pyramid levels) does not make the close-up keyframe redundant, because
+    the coarse observations cannot replace its fine-scale BA constraints.
+
+    Vectorized form: per level ``l`` build ``cnt_le[l, p]`` = how many valid
+    keyframes observe point ``p`` at level <= ``l`` (an (L+1, K, P) masked
+    reduce), then each observation (k, p) at level ``l1`` gathers
+    ``cnt_le[l1+1, p] - 1`` as its same-or-finer-scale support from other
+    keyframes (the -1 removes the observation itself, which always passes
+    its own scale test). The newest two keyframes are protected.
     """
     K, P, _ = m.capacities
-    n_obs_pt = jnp.sum(m.obs_mask & m.kf_valid[:, None], axis=0)  # (P,)
-    redundant_pt = n_obs_pt >= 4  # self + 3 others
+    L = len(m.kf_pyr)
+    obs_at = m.obs_mask & m.kf_valid[:, None] & m.pt_valid[None, :]
+    lvls = jnp.arange(L + 1, dtype=m.obs_level.dtype)
+    cnt_le = jnp.sum(
+        obs_at[None] & (m.obs_level[None] <= lvls[:, None, None]), axis=1
+    )                                                            # (L+1, P)
+    thr = jnp.clip(m.obs_level + 1, 0, L)                        # (K, P)
+    support = cnt_le[thr, jnp.arange(P)[None, :]] - 1            # (K, P)
+    redundant = obs_at & (support >= 3)
     per_kf_total = jnp.sum(m.obs_mask & m.pt_valid[None, :], axis=1)
-    per_kf_red = jnp.sum(
-        m.obs_mask & (redundant_pt & m.pt_valid)[None, :], axis=1
-    )
+    per_kf_red = jnp.sum(redundant, axis=1)
     frac = per_kf_red / jnp.maximum(per_kf_total, 1)
     newest = jnp.argsort(-jnp.where(m.kf_valid, m.kf_frame_id, -1))[:2]
     protect = jnp.zeros(K, bool).at[newest].set(True)

@@ -69,7 +69,6 @@ class MapState(NamedTuple):
     pt_fail: jnp.ndarray           # (P,) int32 consecutive failed projections
                                    #   (reference point.cc:103-116, delete at 15)
     pt_found: jnp.ndarray          # (P,) int32 total successful observations
-    pt_last_seen: jnp.ndarray      # (P,) int32 frame id
     pt_desc: jnp.ndarray           # (P, 8) uint32 anchor ORB descriptor
                                    #   (reference feature.h descriptor; used
                                    #   when Config.use_orb to gate matches)
@@ -125,7 +124,6 @@ def empty_map(n_kf: int, n_pts: int, n_cand: int, img_shape: Tuple[int, int],
         pt_anchor_kf=jnp.zeros(n_pts, jnp.int32),
         pt_fail=jnp.zeros(n_pts, jnp.int32),
         pt_found=jnp.zeros(n_pts, jnp.int32),
-        pt_last_seen=jnp.zeros(n_pts, jnp.int32),
         pt_desc=jnp.zeros((n_pts, 8), jnp.uint32),
         cand_valid=jnp.zeros(n_cand, bool),
         cand_kf=jnp.zeros(n_cand, jnp.int32),

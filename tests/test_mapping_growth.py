@@ -274,3 +274,42 @@ def test_multiplane_map_has_depth_structure(multiplane_run):
     spread = np.percentile(z, 95) - np.percentile(z, 5)
     assert spread > 0.25 * abs(np.median(z) - np.percentile(z, 5) + 1e-9) \
         or spread > 0.2, f"map is flat: spread {spread}"
+
+
+def _redundancy_map(obs_level_others: int):
+    """A 6-KF map where KF 2's 16 points are each re-observed by 3 other
+    keyframes at pyramid level ``obs_level_others`` (KF 2 observes at 0)."""
+    m = empty_map(n_kf=6, n_pts=32, n_cand=8, img_shape=(64, 64), levels=4)
+    P = 16
+    observers = (1, 3, 4)
+    kf_valid = m.kf_valid.at[:5].set(True)
+    kf_frame_id = m.kf_frame_id.at[:5].set(jnp.arange(5))
+    obs_mask = m.obs_mask.at[2, :P].set(True)
+    obs_level = m.obs_level
+    for k in observers:
+        obs_mask = obs_mask.at[k, :P].set(True)
+        obs_level = obs_level.at[k, :P].set(obs_level_others)
+    # newest-two protection covers KFs 3 and 4; KF 1 anchors the points so
+    # only KF 2 is eligible for pruning
+    return m._replace(
+        kf_valid=kf_valid, kf_frame_id=kf_frame_id, obs_mask=obs_mask,
+        obs_level=obs_level,
+        pt_valid=m.pt_valid.at[:P].set(True),
+        pt_anchor_kf=jnp.ones_like(m.pt_anchor_kf),
+    )
+
+
+def test_redundancy_prune_requires_same_or_finer_scale():
+    """map.cc:667: only observations at level2 <= level1+1 count toward
+    redundancy. Support at the same scale prunes the keyframe; the same
+    support seen only from far away (coarse levels) must not."""
+    fine = mapper.check_redundant_keyframes(_redundancy_map(obs_level_others=0))
+    assert not bool(fine.kf_valid[2])  # redundant at same scale -> pruned
+
+    border = mapper.check_redundant_keyframes(_redundancy_map(obs_level_others=1))
+    assert not bool(border.kf_valid[2])  # level1+1 still counts (<=)
+
+    coarse = mapper.check_redundant_keyframes(_redundancy_map(obs_level_others=2))
+    assert bool(coarse.kf_valid[2])  # coarse-only support -> kept
+    assert np.array_equal(np.asarray(coarse.kf_valid),
+                          np.asarray(_redundancy_map(2).kf_valid))
