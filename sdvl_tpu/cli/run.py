@@ -159,6 +159,14 @@ def main(argv=None):
 
     if args.localize and not args.stream:
         ap.error("--localize requires --stream (device-FSM serving path)")
+    if args.localize and args.global_ba:
+        # end-of-run BA would rewrite the frozen snapshot map and rebase
+        # the served trajectory — contradicting the frozen-map contract
+        ap.error("--localize serves a frozen map; --global-ba would "
+                 "modify it (drop one of the two)")
+    if args.localize and args.resume:
+        ap.error("--localize starts its own session from the snapshot; "
+                 "it cannot be combined with --resume")
     if args.stream:
         if args.live:
             print("[WARN] --live needs per-frame host state; ignored "

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline.config import Config
 from ..pipeline.device_fsm import (FrameInfo, STATE_LOST, SlamCarry,
-                                   init_state, make_step)
+                                   init_carry, init_state, make_step)
 from ..pipeline.stream import SlamResult, _rebase_trajectory
 
 
@@ -79,25 +79,29 @@ class MultiStream:
         div = 1 << (s.pyramid_levels - 1)
         self.crop_h, self.crop_w = (H // div) * div, (W // div) * div
 
-        states = [init_state(config, seed=seed + i) for i in range(n_streams)]
         shard = NamedSharding(mesh, P(axis))
         if self.frozen:
             from ..io.snapshot import load_stream_arrays
 
             m0, c_snap = (frozen_map if isinstance(frozen_map, tuple)
                           else load_stream_arrays(frozen_map))
-            if m0.capacities != states[0][0].capacities:
+            # carry-only init: N carries + ONE map; going through
+            # init_state here would transiently allocate a full keyframe
+            # store per stream (round-3 advisor: ~7.4 GB at 16 streams of
+            # Zurich capacity) just to extract the carries
+            cfg_caps = (s.max_keyframes, s.max_points, s.max_candidates)
+            if m0.capacities != cfg_caps:
                 raise ValueError(
                     f"snapshot capacities {m0.capacities} != config "
-                    f"{states[0][0].capacities}"
+                    f"{cfg_caps}"
                 )
             carries = [
-                c._replace(
+                init_carry(config, seed=seed + i)._replace(
                     state=jnp.asarray(STATE_LOST, jnp.int32),
                     lost_frames=jnp.asarray(3, jnp.int32),
                     pose=jnp.asarray(np.asarray(c_snap.pose)),
                 )
-                for _, c in states
+                for i in range(n_streams)
             ]
             stacked_c = _stack_states(carries)
             replicated = NamedSharding(mesh, P())
@@ -105,6 +109,8 @@ class MultiStream:
                 m0, jax.tree_util.tree_map(lambda _: replicated, m0)
             )
         else:
+            states = [init_state(config, seed=seed + i)
+                      for i in range(n_streams)]
             stacked_m = _stack_states([m for m, _ in states])
             stacked_c = _stack_states([c for _, c in states])
             self.m = jax.device_put(

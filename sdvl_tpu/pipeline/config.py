@@ -152,14 +152,22 @@ def _parse_opencv_yaml(path: str) -> dict:
                     except ValueError:
                         # tolerate a stray internal space in a numeric
                         # scalar (reference config_iclnuim.cfg:37 reads
-                        # "max_keyframes: 100 0" — a typo for the 1000
-                        # every other preset uses); the value must come
-                        # out an int because capacities are static shapes
-                        packed = raw.replace(" ", "")
+                        # "max_keyframes: 100 0") by parsing the FIRST
+                        # token only. The reference's cv::FileStorage
+                        # (config.cc:134) can't read "100 0" as an int
+                        # either and silently keeps the compiled-in
+                        # default 100 (config.cc:60) — first-token parse
+                        # lands on the same effective value without
+                        # inventing digit-concatenated numbers ("3 5"
+                        # must not become 35)
+                        tok = raw.split()[0]
                         try:
-                            out[key] = int(packed)
+                            out[key] = int(tok)
                         except ValueError:
-                            out[key] = raw
+                            try:
+                                out[key] = float(tok)
+                            except ValueError:
+                                out[key] = raw
     return out
 
 

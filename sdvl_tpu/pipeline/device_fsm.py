@@ -91,6 +91,20 @@ def init_state(cfg: Config, seed: int = 0):
     m = empty_map(n_kf=s.max_keyframes, n_pts=s.max_points,
                   n_cand=s.max_candidates, img_shape=(ch, cw),
                   levels=s.pyramid_levels)
+    return m, init_carry(cfg, seed)
+
+
+def init_carry(cfg: Config, seed: int = 0) -> "SlamCarry":
+    """Fresh per-stream SlamCarry WITHOUT allocating a MapState.
+
+    Shared-map serving (dist/multi_stream.py frozen mode) builds one carry
+    per stream against a single replicated map; going through init_state
+    there would transiently allocate a full keyframe store (0.46 GB at
+    Zurich capacity) per stream just to throw it away."""
+    s = cfg.sdvl
+    H, W = cfg.camera.height, cfg.camera.width
+    div = 1 << (s.pyramid_levels - 1)
+    ch, cw = (H // div) * div, (W // div) * div
 
     def fresh_pyr():
         # distinct allocations: pyr1/last_pyr live in one donated carry and
@@ -119,7 +133,7 @@ def init_state(cfg: Config, seed: int = 0):
     # must share that static shape
     n_cells = min(n_cells, s.max_matches)
 
-    carry = SlamCarry(
+    return SlamCarry(
         state=jnp.asarray(STATE_FIRST, jnp.int32),
         key=jax.random.PRNGKey(seed),
         frame_id=jnp.asarray(0, jnp.int32),
@@ -135,7 +149,6 @@ def init_state(cfg: Config, seed: int = 0):
         last_idx=jnp.zeros(n_cells, jnp.int32),
         last_ok=jnp.zeros(n_cells, bool),
     )
-    return m, carry
 
 
 def _where_tree(pred, a, b):

@@ -130,3 +130,16 @@ def test_localize_only_flag_roundtrips_config():
     assert s.localize_only is True
     # part of the jit cache key: must stay hashable
     hash(dataclasses.replace(s, localize_only=False))
+
+
+@pytest.mark.parametrize("extra", [["--global-ba"], ["--resume", "x.npz"]])
+def test_cli_rejects_map_mutators_with_localize(extra, tmp_path):
+    """--localize serves a frozen map: combining it with --global-ba (which
+    would rewrite the map and rebase the trajectory) or --resume must be a
+    usage error, mirroring the --localize/--stream guard."""
+    from sdvl_tpu.cli.run import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--synthetic", "4", "--stream",
+              "--localize", str(tmp_path / "snap.npz"), *extra])
+    assert e.value.code == 2  # argparse usage error

@@ -51,3 +51,30 @@ def test_preset_matches_reference_exactly(name):
     for f in dataclasses.fields(ours.sdvl):
         assert getattr(ours.sdvl, f.name) == getattr(ref.sdvl, f.name), \
             f"knob {f.name} diverges from the reference preset"
+
+
+def test_first_token_numeric_repair(tmp_path):
+    """Space-separated numeric tokens parse to the FIRST token (mirroring
+    the effective cv::FileStorage behavior of keeping a parseable value,
+    never digit concatenation: "3 5" must not become 35)."""
+    p = tmp_path / "c.cfg"
+    p.write_text("SDVL.max_keyframes: 100 0\nSDVL.max_matches: 3 5\n"
+                 "Camera.fx: 517.3\n")
+    from sdvl_tpu.pipeline.config import _parse_opencv_yaml
+
+    kv = _parse_opencv_yaml(str(p))
+    assert kv["SDVL.max_keyframes"] == 100
+    assert kv["SDVL.max_matches"] == 3
+    assert kv["Camera.fx"] == 517.3
+
+
+def test_iclnuim_typo_matches_reference_binary_default():
+    """config_iclnuim.cfg's "max_keyframes: 100 0" typo: the reference
+    binary falls back to its compiled-in default 100 (config.cc:60,134);
+    our parser's first-token repair and the shipped preset both land on
+    that same effective value."""
+    ours = load_cfg(os.path.join(CONFIGS, "iclnuim.cfg"))
+    assert ours.sdvl.max_keyframes == 100
+    if os.path.isdir(REF):
+        ref = load_cfg(os.path.join(REF, "config_iclnuim.cfg"))
+        assert ref.sdvl.max_keyframes == 100
