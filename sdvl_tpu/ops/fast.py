@@ -167,7 +167,9 @@ def detect_pyramid(pyr: Sequence[jnp.ndarray], levels: int = 3,
                    cell: int = 32, fast_threshold: float = 10.0,
                    st_threshold: float = 50.0,
                    max_features: int | None = None,
-                   use_pallas: bool = False) -> Corners:
+                   use_pallas: bool = False,
+                   lock_xy: jnp.ndarray | None = None,
+                   lock_valid: jnp.ndarray | None = None) -> Corners:
     """Detect over the first ``levels`` pyramid levels and concatenate.
 
     Mirrors reference DetectPyramid (fast_detector.cc:154-175) which detects
@@ -177,12 +179,26 @@ def detect_pyramid(pyr: Sequence[jnp.ndarray], levels: int = 3,
     (fast_detector.cc:108-151 retainBest): when the cell capacity exceeds
     it, only the ``max_features`` best-scoring corners survive (static
     top-k, so the output shape is ``min(cells*levels, max_features)``).
+
+    ``lock_xy``/``lock_valid`` (level-0 px, (M, 2)/(M,)) suppress cells
+    already holding tracked features — the reference's LockCell pass
+    (fast_detector.cc:48-56, frame.cc:141-144) — so both the per-cell
+    winners and the ``max_features`` budget shift to uncovered image
+    regions instead of re-detecting what is already tracked.
     """
-    parts = [
-        detect_level(pyr[l], l, cell=cell, fast_threshold=fast_threshold,
-                     st_threshold=st_threshold, use_pallas=use_pallas)
-        for l in range(levels)
-    ]
+    parts = []
+    for l in range(levels):
+        locked = None
+        if lock_xy is not None:
+            h, w = pyr[l].shape
+            locked = occupied_cells(
+                lock_xy / jnp.float32(1 << l), lock_valid, h, w, cell
+            )
+        parts.append(
+            detect_level(pyr[l], l, cell=cell, fast_threshold=fast_threshold,
+                         st_threshold=st_threshold, locked_cells=locked,
+                         use_pallas=use_pallas)
+        )
     out = Corners(
         xy=jnp.concatenate([p.xy for p in parts]),
         score=jnp.concatenate([p.score for p in parts]),

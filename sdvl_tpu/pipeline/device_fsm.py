@@ -172,7 +172,7 @@ def make_step(cfg: Config, undistort: bool):
     intr = intrinsics(cfg)
     levels = s.pyramid_levels
 
-    def preprocess(img, grid):
+    def preprocess(img, grid, lock_xy, lock_valid):
         img = img.astype(jnp.float32)
         if undistort:
             img = interp.remap(img, grid)
@@ -183,6 +183,7 @@ def make_step(cfg: Config, undistort: bool):
             st_threshold=s.min_feature_score,
             max_features=s.num_features,
             use_pallas=s.use_pallas_detect,
+            lock_xy=lock_xy, lock_valid=lock_valid,
         )
         return pyr, corners
 
@@ -457,7 +458,16 @@ def make_step(cfg: Config, undistort: bool):
 
     # -------------------------------------------------------------- step
     def step(m: MapState, carry: SlamCarry, img, grid):
-        pyr, corners = preprocess(img, grid)
+        # steady-state cell locking (fast_detector.cc:48-56,
+        # frame.cc:141-144): suppress detector cells that already hold
+        # tracked map points, projected at the previous frame's pose (the
+        # new pose doesn't exist yet; inter-frame motion is << a 32 px
+        # cell). In FIRST/SECOND states last_ok is all-False -> no-op.
+        pts_cam = se3.transform(carry.pose, m.pt_pos[carry.last_idx])
+        lock_xy = cam.project(intr, pts_cam)
+        lock_valid = (carry.last_ok & m.pt_valid[carry.last_idx]
+                      & (pts_cam[:, 2] > 0.0))
+        pyr, corners = preprocess(img, grid, lock_xy, lock_valid)
 
         # localize_only sessions start in LOST against a loaded map; the
         # bootstrap states are unreachable, so compiling them out shrinks

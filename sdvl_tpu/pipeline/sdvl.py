@@ -110,8 +110,7 @@ class SDVL:
         # literals) and Python scalars, but NEVER device arrays — the
         # undistort grid is threaded through as an argument. Closure-captured
         # device arrays poison this TPU runtime (~30 ms/launch sync mode).
-        @jax.jit
-        def _preprocess(img, grid):
+        def _pre(img, grid, lock_xy=None, lock_valid=None):
             img = img.astype(jnp.float32)
             if has_grid:
                 img = interp.remap(img, grid)
@@ -122,8 +121,22 @@ class SDVL:
                 st_threshold=s.min_feature_score,
                 max_features=s.num_features,
                 use_pallas=s.use_pallas_detect,
+                lock_xy=lock_xy, lock_valid=lock_valid,
             )
             return pyr, corners
+
+        _preprocess = jax.jit(_pre)
+
+        @jax.jit
+        def _preprocess_locked(img, grid, pt_pos, pt_valid, idx, ok, pose):
+            """Steady-state variant (fast_detector.cc:48-56,
+            frame.cc:141-144): suppress detector cells already holding
+            tracked map points, projected at the previous frame's pose
+            (inter-frame motion is << a cell)."""
+            pts_cam = se3.transform(pose, pt_pos[idx])
+            lock_xy = cam.project(intr, pts_cam)
+            lock_valid = ok & pt_valid[idx] & (pts_cam[:, 2] > 0.0)
+            return _pre(img, grid, lock_xy, lock_valid)
 
         @jax.jit
         def _bootstrap(pyr1, pyr2, corners_xy, corners_valid, key):
@@ -291,6 +304,7 @@ class SDVL:
             return mapper.prune_weak_points(m)
 
         self._preprocess = _preprocess
+        self._preprocess_locked = _preprocess_locked
         self._update_stats = _update_stats
         self._bootstrap = _bootstrap
         self._seed_map = _seed_map
@@ -328,9 +342,16 @@ class SDVL:
         """
         s = self.cfg.sdvl
         with self.tracer.span("preprocess"):
-            pyr, corners = self._preprocess(
-                self._crop(img), self._undistort_grid
-            )
+            if self.last_match_idx is not None:
+                pyr, corners = self._preprocess_locked(
+                    self._crop(img), self._undistort_grid, self.m.pt_pos,
+                    self.m.pt_valid, self.last_match_idx,
+                    self.last_match_ok, self.last_pose,
+                )
+            else:
+                pyr, corners = self._preprocess(
+                    self._crop(img), self._undistort_grid
+                )
         info = {"frame_id": self.frame_id, "state": self.state.name,
                 "n_matches": 0, "n_attempts": 0, "keyframe": False}
 

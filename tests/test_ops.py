@@ -156,3 +156,43 @@ def test_hamming_matrix():
     assert (np.diag(m) == 0).all()
     assert (m >= 0).all() and (m <= 256).all()
     np.testing.assert_array_equal(m, m.T)
+
+
+def test_detect_pyramid_cell_locking_shifts_budget(test_img):
+    """Steady-state cell locking (fast_detector.cc:48-56): corners in cells
+    holding tracked features are suppressed, and a max_features budget is
+    respent on uncovered regions instead of re-detecting tracked ones."""
+    pyr = pyramid.build_pyramid(jnp.asarray(test_img), levels=3)
+    base = fast.detect_pyramid(pyr, levels=2, cell=32, fast_threshold=15.0,
+                               st_threshold=20.0)
+    bxy = np.asarray(base.xy)
+    bvalid = np.asarray(base.valid)
+    assert bvalid.sum() >= 2
+    # lock the cell of the globally best corner (the max_features winner)
+    best = int(np.argmax(np.where(bvalid, np.asarray(base.score), -np.inf)))
+    lock_xy = jnp.asarray(bxy[best][None])
+    locked = fast.detect_pyramid(pyr, levels=2, cell=32, fast_threshold=15.0,
+                                 st_threshold=20.0,
+                                 lock_xy=lock_xy,
+                                 lock_valid=jnp.asarray([True]))
+    lvalid = np.asarray(locked.valid)
+    assert not lvalid[best]              # tracked cell suppressed
+    # every newly-suppressed corner sits in the locked position's covering
+    # cell at its own pyramid level (one cell per level can go dark)
+    lost = np.flatnonzero(bvalid & ~lvalid)
+    assert best in lost and 1 <= len(lost) <= 2
+    for i in lost:
+        lvl = int(np.asarray(base.level)[i])
+        assert (np.asarray(bxy[i]) // (32 << lvl) ==
+                np.asarray(bxy[best]) // (32 << lvl)).all()
+
+    # budget respends: with max_features=1 the winner moves elsewhere
+    top1 = fast.detect_pyramid(pyr, levels=2, cell=32, fast_threshold=15.0,
+                               st_threshold=20.0, max_features=1)
+    top1_locked = fast.detect_pyramid(
+        pyr, levels=2, cell=32, fast_threshold=15.0, st_threshold=20.0,
+        max_features=1, lock_xy=lock_xy, lock_valid=jnp.asarray([True]))
+    assert np.asarray(top1.valid).any()
+    if np.asarray(top1_locked.valid).any():
+        assert not np.allclose(np.asarray(top1.xy[0]),
+                               np.asarray(top1_locked.xy[0]))
