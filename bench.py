@@ -52,36 +52,100 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def cache_is_warm() -> bool:
-    """True if a fused chunk-step executable is already cached."""
+    """True if both fused chunk-step executables (light + preset shape)
+    are already cached."""
     try:
-        return any(n.startswith("jit_chunk_step")
-                   for n in os.listdir(CACHE_DIR))
+        return sum(n.startswith("jit_chunk_step")
+                   for n in os.listdir(CACHE_DIR)) >= 2
     except OSError:
         return False
 
 
-def make_setup():
+def make_setup(preset: bool = False):
     """The benchmark scene + config, shared with tools/warm_cache.py so the
-    warm pass compiles exactly the programs the timed run loads."""
+    warm pass compiles exactly the programs the timed run loads.
+
+    ``preset=False`` is the LIGHT shape (no ORB gate, 20-keyframe map) —
+    the serving configuration this framework would actually deploy for a
+    short-horizon tracker. ``preset=True`` mirrors the shape every
+    reference dataset preset ships (config/config_tum_f1.cfg: use_orb=1,
+    num_features=1000, max_matches=200; max_keyframes bounded to 100 per
+    the round-3 review) so the headline number runs the same machine the
+    accuracy comparisons do. Distortion stays off in BOTH systems'
+    measurements (the synthetic camera is undistorted;
+    tools/measure_reference.py uses the same geometry)."""
     from sdvl_tpu.io.synthetic import PlaneScene
     from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
 
     scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                        width=640, height=480, plane_z=4.0)
+    common = dict(min_avg_shift=10.0, min_keyframe_its=15,
+                  min_init_corners=40, map_scale=4.0, max_candidates=512)
+    if preset:
+        sdvl = SdvlConfig(use_orb=True, num_features=1000, max_matches=200,
+                          max_keyframes=100, max_points=4096,
+                          fast_threshold=10.0, cell_size=32, **common)
+    else:
+        sdvl = SdvlConfig(max_keyframes=20, max_points=2048, **common)
     cfg = Config(
         camera=CameraConfig(width=640, height=480, fx=517.3, fy=516.5,
                             u0=318.6, v0=255.3, dist=(0, 0, 0, 0, 0)),
-        sdvl=SdvlConfig(min_avg_shift=10.0, max_keyframes=20,
-                        min_keyframe_its=15, min_init_corners=40,
-                        max_points=2048, max_candidates=512,
-                        map_scale=4.0),
+        sdvl=sdvl,
     )
     return scene, cfg
 
 
-def main():
-    from sdvl_tpu.pipeline.stream import SdvlStream  # noqa: E402
+CHUNK = 16      # frames per fused lax.scan launch
+N_WARM = 16     # one warmup chunk: bootstrap + compile everything
+N_WINDOW = 240  # frames per timed window
 
+
+def run_mode(preset: bool, n_windows: int):
+    """Measure one config shape. Returns (per-window fps list, result)."""
+    from sdvl_tpu.pipeline.stream import SdvlStream
+
+    scene, cfg = make_setup(preset)
+    slam = SdvlStream(cfg, seed=0)
+
+    n_total = N_WARM + N_WINDOW * n_windows
+    frames = [
+        np.clip(scene.render(p), 0, 255).astype(np.uint8)
+        for p in scene.trajectory(n_total, translation_amp=1.0)
+    ]
+    # chunks arrive pre-stacked: the serving unit is a chunk, and stacking
+    # is harness-side frame generation, not framework work (a host memcpy
+    # costs ~1-2 ms per chunk on this 2-vCPU box — real fraction of the
+    # timed window)
+    chunks = [
+        np.ascontiguousarray(np.stack(frames[i : i + CHUNK]))
+        for i in range(N_WARM, n_total, CHUNK)
+    ]
+
+    slam.feed_chunk(np.stack(frames[:N_WARM]))
+    slam.block()  # compile + bootstrap settled (sync, no host transfer)
+
+    per_win = N_WINDOW // CHUNK
+    window_fps = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for c in chunks[w * per_win : (w + 1) * per_win]:
+            slam.feed_chunk(c)
+        slam.block()
+        window_fps.append(N_WINDOW / (time.perf_counter() - t0))
+    name = "preset" if preset else "light"
+    print(f"# {name} windows_fps:", [round(f, 1) for f in window_fps],
+          file=sys.stderr)
+
+    # correctness gate AFTER timing (the transfer poisons launch latency)
+    r = slam.result()
+    assert r.state_name() == "RUNNING", f"tracking lost: {r.state_name()}"
+    timed_matches = r.n_matches[N_WARM:]
+    assert (timed_matches >= cfg.sdvl.min_matches).mean() > 0.9, timed_matches
+    assert np.isfinite(r.trajectory).all()
+    return window_fps
+
+
+def main():
     if not cache_is_warm():
         # One explicit warm-compile pass in a subprocess so a cold checkout
         # still produces a warm-cache timing (and rc=0) in one invocation.
@@ -93,60 +157,36 @@ def main():
                           "tools", "warm_cache.py")],
             check=True, stdout=sys.stderr)
 
-    chunk = 16      # frames per fused lax.scan launch
-    n_warm = 16     # one warmup chunk: bootstrap + compile everything
-    n_window = 240  # frames per timed window
-    n_windows = 4   # best window wins (tunnel bandwidth varies 2-5x
-                    # run-to-run for identical code; the best window is the
-                    # framework's throughput, the rest is shared-link noise)
+    # Headline = PRESET shape (ORB gate on, 100-keyframe map — the machine
+    # the reference's dataset configs actually run and the one our accuracy
+    # comparisons use); the LIGHT shape rides along as extra keys. Baselines
+    # are the reference binary MEASURED on this host in the matching shape
+    # (tools/measure_reference.py [--orb], best of 3 — BASELINE.md):
+    # windows: best + median both reported (tunnel bandwidth varies 2-5x
+    # run-to-run for identical code; best = framework throughput, median =
+    # what a typical window saw through the shared link).
+    baseline_preset = 101.0   # fps, measure_reference.py --orb
+    baseline_light = 145.0    # fps, measure_reference.py
 
-    scene, cfg = make_setup()
-    slam = SdvlStream(cfg, seed=0)
+    preset_fps = run_mode(preset=True, n_windows=4)
+    light_fps = run_mode(preset=False, n_windows=4)
 
-    n_total = n_warm + n_window * n_windows
-    frames = [
-        np.clip(scene.render(p), 0, 255).astype(np.uint8)
-        for p in scene.trajectory(n_total, translation_amp=1.0)
-    ]
-    # chunks arrive pre-stacked: the serving unit is a chunk, and stacking
-    # is harness-side frame generation, not framework work (a host memcpy
-    # costs ~1-2 ms per chunk on this 2-vCPU box — real fraction of the
-    # timed window)
-    chunks = [
-        np.ascontiguousarray(np.stack(frames[i : i + chunk]))
-        for i in range(n_warm, n_total, chunk)
-    ]
-
-    slam.feed_chunk(np.stack(frames[:n_warm]))
-    slam.block()  # compile + bootstrap settled (sync, no host transfer)
-
-    per_win = n_window // chunk
-    window_fps = []
-    for w in range(n_windows):
-        t0 = time.perf_counter()
-        for c in chunks[w * per_win : (w + 1) * per_win]:
-            slam.feed_chunk(c)
-        slam.block()
-        window_fps.append(n_window / (time.perf_counter() - t0))
-    fps = max(window_fps)
-    print("# windows_fps:", [round(f, 1) for f in window_fps],
-          file=sys.stderr)
-    n_timed = n_window * n_windows
-
-    # correctness gate AFTER timing (the transfer poisons launch latency)
-    r = slam.result()
-    assert r.state_name() == "RUNNING", f"tracking lost: {r.state_name()}"
-    timed_matches = r.n_matches[n_warm:]
-    assert (timed_matches >= cfg.sdvl.min_matches).mean() > 0.9, timed_matches
-    assert np.isfinite(r.trajectory).all()
-
-    # measured reference-tracking-thread fps on this host (BASELINE.md)
-    baseline_fps = 145.0
+    best_p, med_p = max(preset_fps), float(np.median(preset_fps))
+    best_l, med_l = max(light_fps), float(np.median(light_fps))
     print(json.dumps({
         "metric": "tracked_frames_per_s_per_chip",
-        "value": round(fps, 2),
+        "value": round(best_p, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(best_p / baseline_preset, 3),
+        "median_fps": round(med_p, 2),
+        "median_vs_baseline": round(med_p / baseline_preset, 3),
+        "config": "tum_f1 preset shape (use_orb=1, num_features=1000, "
+                  "max_matches=200, max_keyframes=100)",
+        "light_fps": round(best_l, 2),
+        "light_median_fps": round(med_l, 2),
+        "light_vs_baseline": round(best_l / baseline_light, 3),
+        "baseline_fps": {"preset": baseline_preset,
+                         "light": baseline_light},
     }))
 
 

@@ -320,34 +320,41 @@ def _ate_vs_seq_gt(gt, stamps, traj_wc, tracked=None):
     ia, ib = evaluate.associate(stamps, gt[:, 0])
     if len(ia) < 3:
         return {}
-    p_est = evaluate.positions_from_poses(traj_wc[ia])
-    p_gt = gt[ib, 1:4]
-    ate, rpe = _aligned_scores(p_est, p_gt, idx=orig[ia])
-    return {"ate_rmse_gt": ate, "rpe_gt": rpe}
+    # TUM rows are cam->world [t, tx, ty, tz, qx, qy, qz, qw]; build
+    # world->cam (w, x, y, z, t) arrays, the pipeline's native convention
+    import jax.numpy as jnp
+
+    from ..core import se3
+
+    g = gt[ib]
+    gt_cw = np.concatenate([g[:, [7, 4, 5, 6]], g[:, 1:4]], axis=1)
+    gt_wc = np.asarray(se3.inverse(jnp.asarray(gt_cw, jnp.float32)))
+    return _aligned_scores(traj_wc[ia], gt_wc, idx=orig[ia], suffix="_gt")
 
 
-def _aligned_scores(p_est, p_gt, idx=None):
-    """Sim(3)-aligned ATE RMSE + frame-to-frame RPE (drift) RMSE. The
-    alignment (incl. scale — monocular gauge) happens once; RPE is computed
-    on the aligned track like the TUM tooling's rpe.py. ``idx`` carries the
-    original frame index of each row: only pairs of truly ADJACENT frames
-    count as one frame of drift (lost/unassociated gaps would otherwise be
-    charged as single-frame error)."""
+def _aligned_scores(traj_wc, gt_wc, idx=None, suffix=""):
+    """Sim(3)-aligned ATE RMSE + TUM RPE (translation AND rotation).
+
+    The alignment (incl. scale — monocular gauge) happens once over
+    positions; the Umeyama scale then feeds the RPE so relative
+    translations are in ground-truth metres (rotation is scale-free).
+    ``idx`` carries each row's original frame index: only pairs of truly
+    ADJACENT frames count as one frame of drift (lost/unassociated gaps
+    would otherwise be charged as single-frame error)."""
     from ..io import evaluate
 
+    p_est = evaluate.positions_from_poses(traj_wc)
+    p_gt = evaluate.positions_from_poses(gt_wc)
     s, R, t = evaluate.umeyama(p_est, p_gt, with_scale=True)
     aligned = (s * (R @ p_est.T)).T + t
     ate = float(np.sqrt(np.mean(
         np.linalg.norm(aligned - p_gt, axis=1) ** 2)))
-    d_est = aligned[1:] - aligned[:-1]
-    d_gt = p_gt[1:] - p_gt[:-1]
-    if idx is not None:
-        keep = np.diff(np.asarray(idx)) == 1
-        d_est, d_gt = d_est[keep], d_gt[keep]
-    rpe = (float(np.sqrt(np.mean(
-        np.linalg.norm(d_est - d_gt, axis=1) ** 2)))
-        if len(d_est) else None)
-    return round(ate, 4), (round(rpe, 4) if rpe is not None else None)
+    out = {f"ate_rmse{suffix}": round(ate, 4)}
+    r = evaluate.rpe_tum(traj_wc, gt_wc, delta=1, scale=s, idx=idx)
+    if r:
+        out[f"rpe{suffix}"] = round(r["rpe_trans"], 4)
+        out[f"rpe_rot_deg{suffix}"] = round(r["rpe_rot_deg"], 4)
+    return out
 
 
 def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
@@ -356,8 +363,6 @@ def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
     ``tracked`` masks to frames where the system was actually tracking
     (pre-bootstrap identity poses would dominate the alignment otherwise).
     """
-    from ..io import evaluate
-
     traj_wc = np.asarray(traj_wc)
     gt_wc = np.asarray(gt_wc)
     orig = np.arange(len(traj_wc))
@@ -365,10 +370,7 @@ def _ate_vs_gt(traj_wc, gt_wc, tracked=None):
         traj_wc, gt_wc, orig = traj_wc[tracked], gt_wc[tracked], orig[tracked]
     if len(traj_wc) < 3:
         return {}
-    p_est = evaluate.positions_from_poses(traj_wc)
-    p_gt = evaluate.positions_from_poses(gt_wc)
-    ate, rpe = _aligned_scores(p_est, p_gt, idx=orig)
-    return {"ate_rmse": ate, "rpe": rpe}
+    return _aligned_scores(traj_wc, gt_wc, idx=orig)
 
 
 def _apply_global_ba(slam, cfg, traj, traj_ids):

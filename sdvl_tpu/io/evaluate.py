@@ -46,11 +46,66 @@ def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray,
 
 
 def rpe(est_pos: np.ndarray, gt_pos: np.ndarray, delta: int = 1) -> float:
-    """Relative pose (translation drift) error RMSE over ``delta`` frames."""
+    """Positional drift RMSE over ``delta`` frames (translation deltas
+    only — a cheap drift gate, NOT the TUM RPE; use :func:`rpe_tum` for
+    the standard per-pair relative-transform metric)."""
     d_est = est_pos[delta:] - est_pos[:-delta]
     d_gt = gt_pos[delta:] - gt_pos[:-delta]
     err = np.linalg.norm(d_est - d_gt, axis=1)
     return float(np.sqrt(np.mean(err ** 2)))
+
+
+def rpe_tum(est_wc: np.ndarray, gt_wc: np.ndarray, delta: int = 1,
+            scale: float = 1.0, idx: np.ndarray | None = None) -> dict:
+    """TUM-benchmark RPE: per-pair relative-transform error, translation
+    AND rotation (the external ``rpe.py`` the reference defers to,
+    SURVEY.md §6).
+
+    For cam->world poses ``P`` (est) and ``Q`` (gt), each pair (i, i+delta)
+    scores ``E_i = (Q_i^-1 Q_{i+delta})^-1 (P_i^-1 P_{i+delta})``;
+    translational error is ``||trans(E_i)||``, rotational error the angle
+    of ``rot(E_i)``. Inputs here are world->cam (N, 7) arrays (the
+    pipeline's native convention), for which
+    ``P_i^-1 P_{i+delta} = W_i ∘ W_{i+delta}^-1``.
+
+    ``scale`` rescales the estimated relative translations (monocular
+    gauge — pass the Umeyama scale from the ATE alignment; rotation is
+    scale-free). ``idx`` gives each row's original frame index: only pairs
+    whose indices differ by exactly ``delta`` count (gaps from lost or
+    unassociated frames must not be charged as ``delta``-frame drift).
+
+    Returns ``{"rpe_trans": m, "rpe_rot_deg": deg, "n_pairs": n}`` (RMSE
+    over pairs) or an empty dict when no valid pair exists.
+    """
+    import jax.numpy as jnp
+
+    from ..core import se3
+
+    est = jnp.asarray(np.asarray(est_wc, np.float32))
+    gt = jnp.asarray(np.asarray(gt_wc, np.float32))
+    if est.shape[0] <= delta:
+        return {}
+    rel_est = se3.compose(est[:-delta], se3.inverse(est[delta:]))
+    rel_gt = se3.compose(gt[:-delta], se3.inverse(gt[delta:]))
+    rel_est = jnp.concatenate(
+        [rel_est[:, :4], rel_est[:, 4:7] * jnp.float32(scale)], axis=-1
+    )
+    E = se3.compose(se3.inverse(rel_gt), rel_est)
+    t_err = np.asarray(jnp.linalg.norm(E[:, 4:7], axis=-1))
+    q = np.asarray(E[:, :4])  # (w, x, y, z)
+    r_err = 2.0 * np.arctan2(np.linalg.norm(q[:, 1:], axis=-1),
+                             np.abs(q[:, 0]))
+    if idx is not None:
+        idx = np.asarray(idx)
+        keep = (idx[delta:] - idx[:-delta]) == delta
+        t_err, r_err = t_err[keep], r_err[keep]
+    if len(t_err) == 0:
+        return {}
+    return {
+        "rpe_trans": float(np.sqrt(np.mean(t_err ** 2))),
+        "rpe_rot_deg": float(np.degrees(np.sqrt(np.mean(r_err ** 2)))),
+        "n_pairs": int(len(t_err)),
+    }
 
 
 def positions_from_poses(poses_wc: np.ndarray) -> np.ndarray:

@@ -65,6 +65,30 @@ def make_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
     return np.clip(tex, 0, 255).astype(np.float32)
 
 
+def make_periodic_texture(size: int = 1024, period: int = 64,
+                          seed: int = 0, n_blobs: int = 6) -> np.ndarray:
+    """Exactly repeating texture: one ``period``-pixel tile (smooth base +
+    a few hard corner blobs) tiled over the whole plane. The worst case for
+    epipolar matching — every corner and every patch has identical twins
+    one period away, so a depth-search segment spanning > 1 period in the
+    image admits ZMSSD-perfect aliases (the failure mode the reference's
+    corner-restricted search, matcher.cc:123-230, is exposed to as well)."""
+    rs = np.random.default_rng(seed)
+    tile = np.zeros((period, period), np.float32)
+    for scale in (8, 16):
+        if period % scale:
+            continue
+        small = rs.uniform(0, 255, (period // scale, period // scale))
+        tile += np.kron(small, np.ones((scale, scale))).astype(np.float32) / 2
+    for _ in range(n_blobs):
+        y, x = rs.integers(4, period - 12, 2)
+        tile[y: y + rs.integers(4, 8), x: x + rs.integers(4, 8)] += \
+            rs.uniform(40, 90)
+    reps = size // period + 1
+    return np.clip(np.tile(tile, (reps, reps))[:size, :size],
+                   0, 255).astype(np.float32)
+
+
 class PlaneScene:
     """A textured world plane z = plane_z observed by a moving camera.
 
@@ -74,13 +98,13 @@ class PlaneScene:
 
     def __init__(self, fx=420.0, fy=420.0, cx=319.5, cy=239.5,
                  width=640, height=480, plane_z=4.0, extent=6.0, seed=0,
-                 dist=None):
+                 dist=None, texture=None):
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.width, self.height = width, height
         self.plane_z = plane_z
         self.extent = extent
         self.dist = None if dist is None else np.asarray(dist, np.float64)
-        self.tex = make_texture(seed=seed)
+        self.tex = make_texture(seed=seed) if texture is None else texture
 
     def _undistort_normalized(self, x_d, y_d, iters: int = 8):
         """Invert the radial-tangential model (k1 k2 p1 p2 k3, the

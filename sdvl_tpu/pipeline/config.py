@@ -74,8 +74,19 @@ class SdvlConfig:
                                   #   max_ransac_its) so presets that lower
                                   #   Config::MaxRansacIts take effect
     epipolar_samples: int = 32    # samples along the epipolar segment
+    epipolar_corner_gate: bool = False  # restrict epipolar samples to
+                                  #   corner-like image structure (reference
+                                  #   matcher.cc:123-230 scans detected
+                                  #   corners only); kills period aliases
+                                  #   on repetitive texture at the cost of
+                                  #   a dense Shi-Tomasi pass in the mapper
     max_reobs: int = 512          # reobservation attempts per new keyframe
                                   #   (AddConnectionsPoints, map.cc:560-617)
+    reloc_max_keyframes: int = 64 # relocalization lane budget: nearest-to-
+                                  #   guess keyframes tried per LOST frame
+                                  #   (bounds the vmap fan-out at Zurich
+                                  #   capacity; reference walks newest-first
+                                  #   serially, sdvl.cc:205-238)
     use_pallas_detect: bool = False  # fused VMEM FAST+Shi-Tomasi kernel
                                   #   (ops/pallas/detect.py) — TPU only;
                                   #   the XLA path is the CI/CPU default

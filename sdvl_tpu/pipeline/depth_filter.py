@@ -87,7 +87,8 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                       lk_iters: int = 8, orb_radius: int = 15,
                       stale_kf_window: int = 10,
                       map_scale: float = 1.0,
-                      scale_min_dist: float = 0.25) -> MapState:
+                      scale_min_dist: float = 0.25,
+                      corner_gate: bool = False) -> MapState:
     """Epipolar-match every candidate and update its depth filter.
 
     Mirrors Map::UpdateCandidates (map.cc:402-498): match -> triangulate ->
@@ -116,6 +117,7 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     res: EpipolarResult = epipolar_search(
         m, intr, cur_pyr, pose_cur, n_samples=n_samples, use_orb=use_orb,
         half=patch_half, lk_iters=lk_iters, orb_radius=orb_radius,
+        corner_gate=corner_gate,
     )
 
     T_cur_ref = se3.compose(pose_cur[None], se3.inverse(m.kf_pose[m.cand_kf]))

@@ -325,7 +325,8 @@ def make_step(cfg: Config, undistort: bool):
             the best-matching KEYFRAME (its pyramid, pose and observed
             points), not the previous — possibly garbage — frame."""
             rl = relocalize.relocalize(m, intr, pyr, carry.pose,
-                                       level=min(4, levels - 1))
+                                       level=min(4, levels - 1),
+                                       max_kf=s.reloc_max_keyframes)
             # f32: lax.cond branch outputs must match do_predict's dtype
             ref_pyr = tuple(p[rl.kf].astype(jnp.float32) for p in m.kf_pyr)
             obs = m.obs_mask[rl.kf] & m.pt_valid
@@ -436,6 +437,7 @@ def make_step(cfg: Config, undistort: bool):
                     orb_radius=s.orb_size // 2,
                     stale_kf_window=2 * s.max_search_keyframes,
                     map_scale=s.map_scale, scale_min_dist=s.scale_min_dist,
+                    corner_gate=s.epipolar_corner_gate,
                 )
             carry = carry._replace(
                 pose=tr.pose,

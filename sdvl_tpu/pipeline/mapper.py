@@ -134,7 +134,8 @@ def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                prune_redundant: bool = True,
                stale_kf_window: int = 10,
                map_scale: float = 1.0,
-               scale_min_dist: float = 0.25) -> MapState:
+               scale_min_dist: float = 0.25,
+               corner_gate: bool = False) -> MapState:
     """Per-frame mapper iteration (Map::UpdateMap, map.cc:73-143): update
     all candidate depth filters against this frame, promote converged ones,
     and retire one redundant keyframe if any (the reference runs
@@ -147,6 +148,7 @@ def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
         lk_iters=lk_iters, orb_radius=orb_radius,
         stale_kf_window=stale_kf_window,
         map_scale=map_scale, scale_min_dist=scale_min_dist,
+        corner_gate=corner_gate,
     )
     m = depth_filter.promote_converged(m, threshold_converged)
     if prune_redundant:

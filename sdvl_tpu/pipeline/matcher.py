@@ -262,7 +262,9 @@ def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                     zmssd_max: float = 40.0 ** 2 * 64,
                     lk_iters: int = 8, use_orb: bool = False,
                     orb_max_dist: int = 100,
-                    orb_radius: int = 15) -> EpipolarResult:
+                    orb_radius: int = 15,
+                    corner_gate: bool = False,
+                    corner_thresh: float = 50.0) -> EpipolarResult:
     """Match depth-filter candidates along their epipolar segments.
 
     Mirrors Matcher::SearchPoint for unconverged candidates
@@ -271,6 +273,16 @@ def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     near that segment, we score ``n_samples`` equispaced samples (uniform in
     inverse depth) by ZMSSD against the warped anchor patch — no corner
     lists, fully batched — then LK-refine the winner and triangulate.
+
+    ``corner_gate`` (static) restores the reference's image-structure
+    restriction (matcher.cc:123-230: only detected corners near the segment
+    are candidates): each sample must sit within 1 px of a pixel whose
+    Shi-Tomasi response at the candidate's search level clears
+    ``corner_thresh`` (Config::MinFeatureScore). On repetitive texture the
+    unrestricted ZMSSD scan can lock onto period aliases mid-texture; the
+    gate rejects samples that are not corner-like at all. Computed as a
+    3x3-max-dilated dense response per level — inside the fused step XLA
+    CSEs it with the detector's own Shi-Tomasi pass over the same pyramid.
     """
     C = m.cand_valid.shape[0]
     s = 2 * half
@@ -321,6 +333,20 @@ def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     cur_zm = cur_vals - jnp.mean(cur_vals, axis=-1, keepdims=True)
     score = jnp.sum((cur_zm - ref_zm[:, None, :]) ** 2, axis=-1)
     score = jnp.where(inb, score, jnp.inf)
+    if corner_gate:
+        from ..ops import fast as fast_ops
+
+        gate_maps = tuple(
+            jax.lax.reduce_window(
+                fast_ops.shi_tomasi(p), -jnp.inf, jax.lax.max,
+                (3, 3), (1, 1), "SAME",
+            )
+            for p in cur_pyr
+        )
+        gate_vals = interp.bilinear_pyramid(
+            gate_maps, search_level[:, None], px_s
+        )  # (C, S)
+        score = jnp.where(gate_vals > corner_thresh, score, jnp.inf)
 
     best = jnp.argmin(score, axis=1)
     best_px = jnp.take_along_axis(px_s, best[:, None, None], axis=1)[:, 0]

@@ -233,6 +233,7 @@ class SDVL:
                 orb_radius=s.orb_size // 2,
                 stale_kf_window=2 * s.max_search_keyframes,
                 map_scale=s.map_scale, scale_min_dist=s.scale_min_dist,
+                corner_gate=s.epipolar_corner_gate,
             )
 
         @jax.jit
@@ -284,7 +285,8 @@ class SDVL:
 
         @jax.jit
         def _relocalize(m, cur_pyr, pose_guess):
-            return relocalize.relocalize(m, intr, cur_pyr, pose_guess)
+            return relocalize.relocalize(m, intr, cur_pyr, pose_guess,
+                                         max_kf=s.reloc_max_keyframes)
 
         @functools.partial(jax.jit, static_argnames=("n_ref",))
         def _reloc_ref(m, kf, n_ref):

@@ -197,3 +197,74 @@ def test_cli_tum_end_to_end(tum_fixture, tmp_path):
     stamps = np.loadtxt(str(out), usecols=0)
     assert abs(stamps[0] - 1305031100.0) < 1e-3
     assert abs((stamps[1] - stamps[0]) - 1 / 30.0) < 1e-3
+
+
+def test_rpe_tum_exact_trajectory_scores_zero():
+    """Identical trajectories -> zero translational and rotational RPE."""
+    import jax.numpy as jnp
+
+    from sdvl_tpu.core import se3
+
+    rng = np.random.default_rng(3)
+    xi = rng.normal(scale=0.1, size=(20, 6)).astype(np.float32)
+    poses = np.asarray(se3.exp(jnp.asarray(xi)))
+    r = evaluate.rpe_tum(poses, poses, delta=1)
+    assert r["n_pairs"] == 19
+    assert r["rpe_trans"] < 1e-5
+    assert r["rpe_rot_deg"] < 1e-2
+
+
+def test_rpe_tum_measures_known_rotation_and_translation_drift():
+    """Each estimated relative motion carries a fixed extra rotation of
+    known angle and a fixed extra translation -> RMSEs equal them, and a
+    pure rotation offset leaves rpe_trans at zero (position-delta RPE,
+    the old drift gate, cannot see it)."""
+    import jax.numpy as jnp
+
+    from sdvl_tpu.core import se3
+
+    n = 15
+    ang = np.deg2rad(2.0)
+    off = np.asarray(
+        se3.exp(jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, ang], jnp.float32)))
+    gt = [np.asarray(se3.identity())]
+    est = [np.asarray(se3.identity())]
+    step = np.asarray(
+        se3.exp(jnp.asarray([0.1, 0, 0, 0, 0, 0], jnp.float32)))
+    for _ in range(n):
+        gt.append(np.asarray(se3.compose(jnp.asarray(step),
+                                         jnp.asarray(gt[-1]))))
+        est.append(np.asarray(se3.compose(
+            jnp.asarray(off),
+            se3.compose(jnp.asarray(step), jnp.asarray(est[-1])))))
+    gt, est = np.stack(gt), np.stack(est)
+    r = evaluate.rpe_tum(est, gt, delta=1)
+    assert abs(r["rpe_rot_deg"] - 2.0) < 0.05, r
+    # the offset is a pure rotation about the camera centre: W_rel gains a
+    # rotation factor but no translation change in this construction
+    assert r["rpe_trans"] < 1e-5, r
+
+    # translation offset: appears in rpe_trans at its exact magnitude
+    toff = np.asarray(
+        se3.exp(jnp.asarray([0.03, 0, 0, 0, 0, 0], jnp.float32)))
+    est_t = [np.asarray(se3.identity())]
+    for _ in range(n):
+        est_t.append(np.asarray(se3.compose(
+            jnp.asarray(toff),
+            se3.compose(jnp.asarray(step), jnp.asarray(est_t[-1])))))
+    r2 = evaluate.rpe_tum(np.stack(est_t), gt, delta=1)
+    assert abs(r2["rpe_trans"] - 0.03) < 1e-4, r2
+
+
+def test_rpe_tum_idx_gap_filtering():
+    """Pairs spanning a gap in original frame indices are excluded."""
+    import jax.numpy as jnp
+
+    from sdvl_tpu.core import se3
+
+    rng = np.random.default_rng(5)
+    xi = rng.normal(scale=0.05, size=(10, 6)).astype(np.float32)
+    poses = np.asarray(se3.exp(jnp.asarray(xi)))
+    idx = np.array([0, 1, 2, 3, 4, 7, 8, 9, 10, 11])  # gap 4 -> 7
+    r = evaluate.rpe_tum(poses, poses, delta=1, idx=idx)
+    assert r["n_pairs"] == 8

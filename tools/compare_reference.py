@@ -1,0 +1,266 @@
+"""Head-to-head accuracy: our tracker vs the REFERENCE BINARY, same frames.
+
+The north-star metric is "ATE RMSE vs SDVL" (BASELINE.json). The reference
+validates itself by printing per-frame poses for external TUM tooling
+(main.cc:141-146: "[INFO] Frame pose is: [tx ty tz][qx qy qz qw]", the
+cam->world pose from SDVL::GetPose -> Frame::GetWorldPose, frame.h:84).
+This tool closes the loop in-repo: it renders synthetic sequences with
+exact ground truth, runs BOTH systems on the same PNGs, parses the
+reference's pose prints, and scores each system against ground truth with
+the same Sim(3) ATE + TUM RPE evaluator (io/evaluate.py).
+
+Per-frame tracking classification for the reference comes from its own
+log structure: each frame's stdout chunk (delimited by the pose prints)
+says "[DEBUG] Process standard frame" when tracking, "[INFO] Relocalizing"
+when lost (sdvl.cc:76), and "[ERROR] Tracking quality is bad" on failure
+(sdvl.cc:257). Ours comes from SlamResult.states == RUNNING.
+
+Usage:
+  python tools/compare_reference.py [--binary /tmp/sdvlref/SDVL]
+      [--scenes plane,multiplane,distorted,exposure] [--frames 240]
+      [--json out.json]
+
+Build the reference first: bash tools/build_reference.sh
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_CFG = """%YAML:1.0
+Camera.width: {w}
+Camera.height: {h}
+Camera.fx: {fx}
+Camera.fy: {fy}
+Camera.u0: {cx}
+Camera.v0: {cy}
+Camera.d1: {d1}
+Camera.d2: {d2}
+Camera.d3: {d3}
+Camera.d4: {d4}
+Camera.d5: {d5}
+Video.type: 1
+Video.path: "{path}/"
+Video.filename: "files.txt"
+SDVL.min_avg_shift: {min_avg_shift}
+SDVL.min_init_corners: 40
+SDVL.map_scale: 4.0
+"""
+
+POSE_RE = re.compile(
+    r"Frame pose is: \[([-\d.e+]+) ([-\d.e+]+) ([-\d.e+]+)\]"
+    r"\[([-\d.e+]+) ([-\d.e+]+) ([-\d.e+]+) ([-\d.e+]+)\]"
+)
+
+
+def build_scenes(n_frames: int):
+    """Each entry: (frames list of u8 (H,W), gt world->cam (N,7),
+    camera dict). Frame rendering is identical for both systems."""
+    from sdvl_tpu.io.synthetic import MultiPlaneScene, PlaneScene
+
+    def cam(fx, fy, cx, cy, w, h, dist=(0, 0, 0, 0, 0), shift=10.0):
+        return dict(fx=fx, fy=fy, cx=cx, cy=cy, w=w, h=h, dist=dist,
+                    min_avg_shift=shift)
+
+    def render(scene, poses, post=None):
+        out = []
+        for i, p in enumerate(poses):
+            img = scene.render(p)
+            if post is not None:
+                img = post(i, img)
+            out.append(np.round(np.clip(img, 0, 255)).astype(np.uint8))
+        return out
+
+    scenes = {}
+
+    c = cam(517.3, 516.5, 318.6, 255.3, 640, 480)
+    s = PlaneScene(fx=c["fx"], fy=c["fy"], cx=c["cx"], cy=c["cy"],
+                   width=640, height=480, plane_z=4.0)
+    poses = s.trajectory(n_frames, translation_amp=1.0)
+    scenes["plane"] = (render(s, poses), np.stack(poses), c)
+
+    c = cam(210.0, 210.0, 159.5, 119.5, 320, 240, shift=5.0)
+    s = MultiPlaneScene()
+    poses = s.trajectory(n_frames)
+    scenes["multiplane"] = (render(s, poses), np.stack(poses), c)
+
+    dist = (-0.28, 0.07, 0.0002, -0.0001, 0.0)
+    c = cam(517.3, 516.5, 318.6, 255.3, 640, 480, dist=dist)
+    s = PlaneScene(fx=c["fx"], fy=c["fy"], cx=c["cx"], cy=c["cy"],
+                   width=640, height=480, plane_z=4.0, dist=dist)
+    poses = s.trajectory(n_frames, translation_amp=1.0)
+    scenes["distorted"] = (render(s, poses), np.stack(poses), c)
+
+    c = cam(517.3, 516.5, 318.6, 255.3, 640, 480)
+    s = PlaneScene(fx=c["fx"], fy=c["fy"], cx=c["cx"], cy=c["cy"],
+                   width=640, height=480, plane_z=4.0)
+    poses = s.trajectory(n_frames, translation_amp=1.0)
+
+    def drift(i, img):
+        # smooth exposure drift after the bootstrap window (same protocol
+        # as tests/test_stream_fsm.py::test_brightness_drift_...)
+        t = max(0, i - 4) / max(1, n_frames - 5)
+        return np.clip(
+            (1.0 + 0.4 * t) * np.asarray(img, np.float32) + 25.0 * t,
+            0, 255)
+
+    scenes["exposure"] = (render(s, poses, post=drift), np.stack(poses), c)
+    return scenes
+
+
+def run_reference(binary: str, frames, camera, workdir: str):
+    """Write PNGs + cfg, run the unmodified binary, parse per-frame poses
+    (cam->world) and per-frame tracking classification."""
+    import cv2
+
+    images = os.path.join(workdir, "images")
+    os.makedirs(os.path.join(workdir, "bin"), exist_ok=True)
+    os.makedirs(images, exist_ok=True)
+    names = []
+    for i, img in enumerate(frames):
+        name = f"f{i:04d}.png"
+        cv2.imwrite(os.path.join(images, name), img)
+        names.append(name)
+    with open(os.path.join(images, "files.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    d = list(camera["dist"])
+    with open(os.path.join(workdir, "config.cfg"), "w") as f:
+        f.write(REF_CFG.format(
+            w=camera["w"], h=camera["h"], fx=camera["fx"], fy=camera["fy"],
+            cx=camera["cx"], cy=camera["cy"], d1=d[0], d2=d[1], d3=d[2],
+            d4=d[3], d5=d[4], path=images,
+            min_avg_shift=camera["min_avg_shift"],
+        ))
+    out = subprocess.run(
+        [binary], cwd=os.path.join(workdir, "bin"),
+        capture_output=True, text=True, timeout=1200,
+    )
+    text = out.stdout + out.stderr
+
+    # split into per-frame chunks: everything between consecutive pose
+    # prints belongs to the LATER frame's HandleFrame call
+    traj_cw, tracked, times = [], [], []
+    chunk_start = 0
+    matches = list(POSE_RE.finditer(out.stdout))
+    for mt in matches:
+        chunk = out.stdout[chunk_start:mt.start()]
+        chunk_start = mt.end()
+        tx, ty, tz, qx, qy, qz, qw = (float(mt.group(k)) for k in
+                                      range(1, 8))
+        traj_cw.append([qw, qx, qy, qz, tx, ty, tz])
+        tracked.append("Process standard frame" in chunk
+                       and "Relocalizing" not in chunk
+                       and "Tracking quality is bad" not in chunk)
+    for m in re.finditer(r"Tracking time is ([\d.]+)ms", text):
+        times.append(float(m.group(1)))
+    return (np.asarray(traj_cw, np.float64), np.asarray(tracked, bool),
+            np.asarray(times))
+
+
+def run_ours(frames, camera, seed=0):
+    from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
+    from sdvl_tpu.pipeline.stream import SdvlStream
+
+    cfg = Config(
+        camera=CameraConfig(width=camera["w"], height=camera["h"],
+                            fx=camera["fx"], fy=camera["fy"],
+                            u0=camera["cx"], v0=camera["cy"],
+                            dist=tuple(camera["dist"])),
+        sdvl=SdvlConfig(min_avg_shift=camera["min_avg_shift"],
+                        max_keyframes=20, min_keyframe_its=15,
+                        min_init_corners=40, max_points=2048,
+                        max_candidates=512, map_scale=4.0,
+                        use_affine_illum=True),
+    )
+    slam = SdvlStream(cfg, seed=seed)
+    for f in frames:
+        slam.feed(f)
+    r = slam.result()
+    return r.trajectory, r.states == 2  # RUNNING
+
+
+def score(traj_wc, tracked, gt_wc):
+    """Sim(3) ATE + TUM RPE over the system's tracked frames."""
+    from sdvl_tpu.cli.run import _aligned_scores
+
+    idx = np.flatnonzero(tracked)
+    n = len(tracked)
+    out = {"tracked_ratio": round(float(tracked.mean()), 3),
+           "tracked_frames": int(tracked.sum()), "frames": int(n)}
+    if tracked.sum() < 30:
+        out["ate_rmse"] = None
+        return out
+    out.update(_aligned_scores(np.asarray(traj_wc)[idx],
+                               np.asarray(gt_wc)[idx], idx=idx))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--binary", default="/tmp/sdvlref/SDVL")
+    ap.add_argument("--scenes",
+                    default="plane,multiplane,distorted,exposure")
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="only run + score the reference binary")
+    args = ap.parse_args()
+
+    if not os.path.exists(args.binary):
+        sys.exit(f"reference binary not found: {args.binary} "
+                 "(run tools/build_reference.sh first)")
+
+    from sdvl_tpu.core import se3  # noqa: E402 (after sys.path insert)
+    import jax.numpy as jnp
+
+    results = {}
+    names = args.scenes.split(",")
+    scenes = build_scenes(args.frames)
+    for name in names:
+        frames, gt_wc, camera = scenes[name]
+        work = f"/tmp/refcmp_{name}"
+        print(f"== {name}: {len(frames)} frames "
+              f"{camera['w']}x{camera['h']} ==", flush=True)
+        ref_cw, ref_tracked, ref_ms = run_reference(
+            args.binary, frames, camera, work)
+        # the binary occasionally stops a few frames early (empty-frame
+        # EOF handling); score the prefix it did produce
+        assert len(ref_cw) >= 0.8 * len(frames), \
+            f"reference printed only {len(ref_cw)} poses"
+        if len(ref_cw) < len(frames):
+            print(f"# reference produced {len(ref_cw)}/{len(frames)} poses",
+                  flush=True)
+        ref_wc = np.asarray(se3.inverse(jnp.asarray(ref_cw, jnp.float32)))
+        r = {"sdvl": score(ref_wc, ref_tracked, gt_wc[:len(ref_wc)])}
+        if len(ref_ms) > 10:
+            r["sdvl"]["ms_per_frame"] = round(float(ref_ms[10:].mean()), 2)
+        if not args.skip_ours:
+            our_traj, our_tracked = run_ours(frames, camera)
+            r["ours"] = score(our_traj, our_tracked, gt_wc)
+        results[name] = r
+        print(json.dumps(r, indent=1), flush=True)
+
+    print("\n| scene | ATE ours | ATE SDVL | RPE ours | RPE SDVL | "
+          "rot ours | rot SDVL | tracked ours | tracked SDVL |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for name, r in results.items():
+        o, s_ = r.get("ours", {}), r["sdvl"]
+        print(f"| {name} | {o.get('ate_rmse')} | {s_.get('ate_rmse')} "
+              f"| {o.get('rpe')} | {s_.get('rpe')} "
+              f"| {o.get('rpe_rot_deg')} | {s_.get('rpe_rot_deg')} "
+              f"| {o.get('tracked_ratio')} | {s_.get('tracked_ratio')} |")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,9 +7,16 @@ tools/build_reference.sh, and parses its per-frame "[INFO] Tracking time is
 X ms" prints (main.cc:146). The mean feeds bench.py's vs_baseline
 denominator (BASELINE.md "Measured baseline").
 
-Usage:  python tools/measure_reference.py [/tmp/sdvlref/SDVL]
+Usage:  python tools/measure_reference.py [--orb] [/tmp/sdvlref/SDVL]
+
+``--orb`` switches to the PRESET shape every dataset config ships
+(use_orb: 1, num_features: 1000, max_matches: 200 — config/config_*.cfg):
+per-match ORB descriptor + Hamming gating is real per-frame cost the
+default-shape number excludes. This feeds bench.py's preset-mode
+vs_baseline denominator.
 """
 
+import argparse
 import os
 import re
 import subprocess
@@ -38,6 +45,12 @@ Video.filename: "files.txt"
 SDVL.min_avg_shift: 10
 SDVL.min_init_corners: 40
 SDVL.map_scale: 4.0
+{extra}"""
+
+PRESET_EXTRA = """SDVL.use_orb: 1
+SDVL.num_features: 1000
+SDVL.max_matches: 200
+SDVL.max_keyframes: 100
 """
 
 
@@ -46,7 +59,13 @@ def main():
 
     from sdvl_tpu.io.synthetic import PlaneScene
 
-    binary = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdvlref/SDVL"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("binary", nargs="?", default="/tmp/sdvlref/SDVL")
+    ap.add_argument("--orb", action="store_true",
+                    help="preset shape: use_orb=1, num_features=1000, "
+                         "max_matches=200, max_keyframes=100")
+    args = ap.parse_args()
+    binary = args.binary
     if not os.path.exists(binary):
         sys.exit(f"reference binary not found: {binary} "
                  "(run tools/build_reference.sh first)")
@@ -68,7 +87,8 @@ def main():
     with open(os.path.join(images, "files.txt"), "w") as f:
         f.write("\n".join(names) + "\n")
     with open(os.path.join(root, "config.cfg"), "w") as f:
-        f.write(CFG.format(path=images))
+        f.write(CFG.format(path=images,
+                           extra=PRESET_EXTRA if args.orb else ""))
 
     # main.cc:104 reads ../config.cfg relative to the cwd
     out = subprocess.run(

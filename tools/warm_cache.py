@@ -25,17 +25,19 @@ import bench  # noqa: E402  (applies the jax_compilation_cache_dir config)
 def main():
     from sdvl_tpu.pipeline.stream import SdvlStream
 
-    t0 = time.perf_counter()
-    scene, cfg = bench.make_setup()
-    slam = SdvlStream(cfg, seed=0)
-    frames = [
-        np.clip(scene.render(p), 0, 255).astype(np.uint8)
-        for p in scene.trajectory(16, translation_amp=1.0)
-    ]
-    slam.feed_chunk(np.stack(frames))
-    slam.block()
-    print(f"warm_cache: chunk step compiled+cached in "
-          f"{time.perf_counter() - t0:.1f} s -> {bench.CACHE_DIR}")
+    for preset in (True, False):
+        t0 = time.perf_counter()
+        scene, cfg = bench.make_setup(preset)
+        slam = SdvlStream(cfg, seed=0)
+        frames = [
+            np.clip(scene.render(p), 0, 255).astype(np.uint8)
+            for p in scene.trajectory(16, translation_amp=1.0)
+        ]
+        slam.feed_chunk(np.stack(frames))
+        slam.block()
+        name = "preset" if preset else "light"
+        print(f"warm_cache: {name} chunk step compiled+cached in "
+              f"{time.perf_counter() - t0:.1f} s -> {bench.CACHE_DIR}")
 
 
 if __name__ == "__main__":
