@@ -136,13 +136,19 @@ def run_mode(preset: bool, n_windows: int):
     print(f"# {name} windows_fps:", [round(f, 1) for f in window_fps],
           file=sys.stderr)
 
-    # correctness gate AFTER timing (the transfer poisons launch latency)
-    r = slam.result()
-    assert r.state_name() == "RUNNING", f"tracking lost: {r.state_name()}"
-    timed_matches = r.n_matches[N_WARM:]
-    assert (timed_matches >= cfg.sdvl.min_matches).mean() > 0.9, timed_matches
-    assert np.isfinite(r.trajectory).all()
-    return window_fps
+    def check():
+        # correctness gate runs AFTER *all* timed windows of *all* modes:
+        # on this runtime the FIRST device->host transfer permanently
+        # degrades launch latency for the rest of the process (~25 ms sync
+        # per launch — observed as an exactly-19-fps second mode when the
+        # gate ran between modes)
+        r = slam.result()
+        assert r.state_name() == "RUNNING", f"lost: {r.state_name()}"
+        timed = r.n_matches[N_WARM:]
+        assert (timed >= cfg.sdvl.min_matches).mean() > 0.9, timed
+        assert np.isfinite(r.trajectory).all()
+
+    return window_fps, check
 
 
 def main():
@@ -165,11 +171,16 @@ def main():
     # windows: best + median both reported (tunnel bandwidth varies 2-5x
     # run-to-run for identical code; best = framework throughput, median =
     # what a typical window saw through the shared link).
-    baseline_preset = 101.0   # fps, measure_reference.py --orb
+    baseline_preset = 149.7   # fps, measure_reference.py --orb (best of 3;
+    #                           the ORB gate costs the reference little —
+    #                           its per-match descriptor work is tiny next
+    #                           to FAST+pyramid+alignment)
     baseline_light = 145.0    # fps, measure_reference.py
 
-    preset_fps = run_mode(preset=True, n_windows=4)
-    light_fps = run_mode(preset=False, n_windows=4)
+    preset_fps, check_p = run_mode(preset=True, n_windows=4)
+    light_fps, check_l = run_mode(preset=False, n_windows=4)
+    check_p()
+    check_l()
 
     best_p, med_p = max(preset_fps), float(np.median(preset_fps))
     best_l, med_l = max(light_fps), float(np.median(light_fps))
