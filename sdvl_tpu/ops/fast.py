@@ -180,31 +180,37 @@ def detect_pyramid(pyr: Sequence[jnp.ndarray], levels: int = 3,
     it, only the ``max_features`` best-scoring corners survive (static
     top-k, so the output shape is ``min(cells*levels, max_features)``).
 
-    ``lock_xy``/``lock_valid`` (level-0 px, (M, 2)/(M,)) suppress cells
-    already holding tracked features — the reference's LockCell pass
-    (fast_detector.cc:48-56, frame.cc:141-144) — so both the per-cell
-    winners and the ``max_features`` budget shift to uncovered image
-    regions instead of re-detecting what is already tracked.
+    ``lock_xy``/``lock_valid`` (level-0 px, (M, 2)/(M,)) suppress corners
+    in LEVEL-0 grid cells already holding tracked features — the
+    reference's LockCell pass (fast_detector.cc:48-56, frame.cc:141-144
+    operates one grid in level-0 coordinates regardless of corner level) —
+    so both the surviving winners and the ``max_features`` budget shift to
+    uncovered image regions instead of re-detecting what is already
+    tracked. The lock granularity is deliberately level-0 cells applied to
+    each corner's level-0 position AFTER per-cell selection: locking each
+    level's own covering cell instead would black out entire coarse levels
+    (one level-2 cell spans 16 level-0 cells; a normal match set would
+    suppress every coarse corner, starving candidate seeding — measured as
+    a 5x ATE regression on the eviction-churn test).
     """
-    parts = []
-    for l in range(levels):
-        locked = None
-        if lock_xy is not None:
-            h, w = pyr[l].shape
-            locked = occupied_cells(
-                lock_xy / jnp.float32(1 << l), lock_valid, h, w, cell
-            )
-        parts.append(
-            detect_level(pyr[l], l, cell=cell, fast_threshold=fast_threshold,
-                         st_threshold=st_threshold, locked_cells=locked,
-                         use_pallas=use_pallas)
-        )
+    parts = [
+        detect_level(pyr[l], l, cell=cell, fast_threshold=fast_threshold,
+                     st_threshold=st_threshold, use_pallas=use_pallas)
+        for l in range(levels)
+    ]
     out = Corners(
         xy=jnp.concatenate([p.xy for p in parts]),
         score=jnp.concatenate([p.score for p in parts]),
         level=jnp.concatenate([p.level for p in parts]),
         valid=jnp.concatenate([p.valid for p in parts]),
     )
+    if lock_xy is not None:
+        H0, W0 = pyr[0].shape
+        gw0, gh0 = W0 // cell, H0 // cell
+        occ0 = occupied_cells(lock_xy, lock_valid, H0, W0, cell)
+        cx = jnp.clip((out.xy[:, 0] // cell).astype(jnp.int32), 0, gw0 - 1)
+        cy = jnp.clip((out.xy[:, 1] // cell).astype(jnp.int32), 0, gh0 - 1)
+        out = out._replace(valid=out.valid & ~occ0[cy * gw0 + cx])
     if max_features is not None and max_features < out.xy.shape[0]:
         key = jnp.where(out.valid, out.score, -jnp.inf)
         _, keep = jax.lax.top_k(key, max_features)

@@ -177,14 +177,17 @@ def test_detect_pyramid_cell_locking_shifts_budget(test_img):
                                  lock_valid=jnp.asarray([True]))
     lvalid = np.asarray(locked.valid)
     assert not lvalid[best]              # tracked cell suppressed
-    # every newly-suppressed corner sits in the locked position's covering
-    # cell at its own pyramid level (one cell per level can go dark)
+    # lock granularity is LEVEL-0 cells (the reference's single grid,
+    # fast_detector.cc:48-56): every newly-suppressed corner's level-0
+    # position falls in the locked level-0 cell, whatever its level
     lost = np.flatnonzero(bvalid & ~lvalid)
-    assert best in lost and 1 <= len(lost) <= 2
+    assert best in lost
     for i in lost:
-        lvl = int(np.asarray(base.level)[i])
-        assert (np.asarray(bxy[i]) // (32 << lvl) ==
-                np.asarray(bxy[best]) // (32 << lvl)).all()
+        assert (np.asarray(bxy[i]) // 32 ==
+                np.asarray(bxy[best]) // 32).all()
+    # corners elsewhere are untouched
+    kept = bvalid & lvalid
+    assert kept.sum() == bvalid.sum() - len(lost)
 
     # budget respends: with max_features=1 the winner moves elsewhere
     top1 = fast.detect_pyramid(pyr, levels=2, cell=32, fast_threshold=15.0,

@@ -142,7 +142,9 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=3000)
-    ap.add_argument("--kf", type=int, default=100)
+    ap.add_argument("--kf", type=int, default=24)
+    ap.add_argument("--span", type=float, default=45.0,
+                    help="world units traveled out (and back)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -152,20 +154,29 @@ def main():
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from sdvl_tpu.io.synthetic import PlaneScene
+    from sdvl_tpu.io.synthetic import PlaneScene, make_texture
     from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
 
+    # Keyframe cadence is ~1 per FOV turnover (~190 px of image travel:
+    # matches decay below the policy thresholds only as points leave the
+    # view, map.cc:170-188) — so recycling a k-slot store live requires
+    # ~k*190 px of travel. Deep plane (z=8) + a 4096-px texture keeps
+    # texture resolution matched to image resolution (fx/z = 65 px/unit
+    # vs 4096/(2*extent) = 60 px/unit) over a 45-unit span: ~2 px/frame,
+    # ~30 keyframe insertions per out-and-back at 3000 frames.
+    Z = 8.0
     scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
-                       width=640, height=480, plane_z=4.0, extent=12.0)
+                       width=640, height=480, plane_z=Z, extent=34.0,
+                       texture=make_texture(4096, seed=0))
     cfg = Config(
         camera=CameraConfig(width=640, height=480, fx=517.3, fy=516.5,
                             u0=318.6, v0=255.3, dist=(0, 0, 0, 0, 0)),
         sdvl=SdvlConfig(min_avg_shift=10.0, max_keyframes=args.kf,
                         min_keyframe_its=10, min_init_corners=40,
                         max_points=4096, max_candidates=512,
-                        map_scale=4.0),
+                        map_scale=Z),
     )
-    _, _, stats = run_protocol(cfg, scene, args.frames)
+    _, _, stats = run_protocol(cfg, scene, args.frames, span=args.span)
     print(json.dumps(stats, indent=1))
     if args.json:
         with open(args.json, "w") as f:

@@ -87,14 +87,20 @@ def main():
 
     levels = s.pyramid_levels
 
-    def preprocess(img):
-        pyr = tuple(pyramid.build_pyramid(img.astype(jnp.float32), levels))
-        corners = fast_ops.detect_pyramid(
-            pyr, levels=s.max_fast_levels, cell=s.cell_size,
-            fast_threshold=s.fast_threshold,
-            st_threshold=s.min_feature_score, max_features=s.num_features,
-            use_pallas=s.use_pallas_detect)
-        return pyr, corners
+    def make_preprocess(use_pallas):
+        def preprocess(img):
+            pyr = tuple(
+                pyramid.build_pyramid(img.astype(jnp.float32), levels))
+            corners = fast_ops.detect_pyramid(
+                pyr, levels=s.max_fast_levels, cell=s.cell_size,
+                fast_threshold=s.fast_threshold,
+                st_threshold=s.min_feature_score,
+                max_features=s.num_features,
+                use_pallas=use_pallas)
+            return pyr, corners
+        return preprocess
+
+    preprocess = make_preprocess(s.use_pallas_detect)
 
     img_dev = jax.device_put(frames[n][: slam.crop_h, : slam.crop_w])
     pyr, corners = jax.jit(preprocess)(img_dev)
@@ -166,6 +172,20 @@ def main():
     reps = args.reps
     out = {}
     out["preprocess_ms"] = timeit(jax.jit(preprocess), (img_dev,), reps)
+    # XLA-vs-Pallas A/B of the detect stage (round-3 review: the fused
+    # VMEM kernel shipped with no published on-chip comparison). Both
+    # variants run the identical pyramid+detect program; only the dense
+    # FAST+Shi-Tomasi map differs (ops/pallas/detect.py vs the XLA
+    # neighbor-stack path).
+    if jax.default_backend() != "cpu":
+        out["preprocess_xla_ms"] = timeit(
+            jax.jit(make_preprocess(False)), (img_dev,), reps)
+        try:
+            out["preprocess_pallas_ms"] = timeit(
+                jax.jit(make_preprocess(True)), (img_dev,), reps)
+        except Exception as e:  # Mosaic/platform unavailable
+            out["preprocess_pallas_ms"] = None
+            print(f"# pallas detect failed: {e}", file=sys.stderr)
     # state passed as ARGUMENTS: a closed-over device array is baked into
     # the executable as a literal and re-crosses the tunnel every launch,
     # inflating a stage by its state size (same trap as ops/pyramid.py:8-16)

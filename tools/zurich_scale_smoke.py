@@ -39,6 +39,8 @@ def main():
                     help="keyframes to actually populate (capacity is 1000)")
     ap.add_argument("--pts", type=int, default=4096)
     ap.add_argument("--stage-iters", type=int, nargs=2, default=(4, 6))
+    ap.add_argument("--no-serve", dest="serve", action="store_false",
+                    help="skip the localize-only serving phase")
     args = ap.parse_args()
 
     from sdvl_tpu.core import camera, se3
@@ -151,9 +153,104 @@ def main():
         "ba_s_compile+run": round(t_first, 1),
         "ba_s_warm": round(t_warm, 2),
     }
-    print(json.dumps(out))
     assert e1 < 0.35 * e0, (e0, e1)
+
+    if args.serve:
+        out.update(serve_smoke(m, intr, scene, kf_poses, K_CAP, P))
+    print(json.dumps(out))
     print("zurich_scale_smoke OK")
+
+
+def serve_smoke(m, intr, scene, kf_poses, K_CAP, P):
+    """Localize-only serving against the Zurich-capacity map (round-3
+    review item 4: no reloc/steady latency number existed at K=1000).
+
+    Starts a frozen-map SdvlStream LOST over the populated 1000-slot map,
+    measures the relocalization step latency (bounded fan-out:
+    reloc_max_keyframes=64 nearest lanes — NOT a 1000-lane vmap) and the
+    steady tracking step latency, then separately times the standalone
+    relocalizer at several lane budgets to show the cost scales with the
+    LANE budget, not with K."""
+    from sdvl_tpu.core import se3
+    from sdvl_tpu.pipeline import relocalize as reloc_mod
+    from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
+    from sdvl_tpu.pipeline.device_fsm import STATE_LOST
+    from sdvl_tpu.pipeline.stream import SdvlStream
+    from sdvl_tpu.ops import pyramid as pyr_ops
+
+    cfg = Config(
+        camera=CameraConfig(width=640, height=480, fx=517.3, fy=516.5,
+                            u0=318.6, v0=255.3, dist=(0, 0, 0, 0, 0)),
+        sdvl=SdvlConfig(max_keyframes=K_CAP, max_points=P,
+                        max_candidates=8, localize_only=True,
+                        reloc_max_keyframes=64, map_scale=4.0,
+                        min_avg_shift=10.0),
+    )
+    slam = SdvlStream(cfg, seed=0, donate=False)
+    slam.m = m
+
+    def go_lost(near_kf: int):
+        slam.carry = slam.carry._replace(
+            state=jnp.asarray(STATE_LOST, jnp.int32),
+            lost_frames=jnp.asarray(3, jnp.int32),
+            pose=jnp.asarray(kf_poses[near_kf]),
+            xi_model=jnp.zeros(6, jnp.float32),
+        )
+
+    # query frames: revisit the mapped trajectory with a small offset
+    q_poses = [kf_poses[10 + i] for i in range(66)]
+    q_frames = [np.clip(scene.render(p), 0, 255).astype(np.uint8)
+                for p in q_poses]
+
+    go_lost(8)
+    t0 = time.perf_counter()
+    slam.feed(q_frames[0], block=True)          # compile + first reloc
+    t_compile = time.perf_counter() - t0
+
+    go_lost(8)
+    t0 = time.perf_counter()
+    slam.feed(q_frames[0], block=True)          # warm reloc step
+    reloc_ms = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    for f in q_frames[1:65]:
+        slam.feed(f)
+    slam.block()
+    steady_ms = (time.perf_counter() - t0) / 64 * 1e3
+
+    # standalone relocalizer: cost tracks the lane budget, not K
+    img = jnp.asarray(q_frames[0][: slam.crop_h, : slam.crop_w],
+                      jnp.float32)
+    pyr = tuple(pyr_ops.build_pyramid(img, len(m.kf_pyr)))
+    lane_ms = {}
+    for lanes in (16, 64, 256):
+        fn = jax.jit(lambda mm, py, po, _l=lanes: reloc_mod.relocalize(
+            mm, intr, py, po, level=4, max_kf=_l))
+        guess = jnp.asarray(kf_poses[8])
+        r = fn(m, pyr, guess)
+        jax.block_until_ready(r.pose)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            r = fn(m, pyr, guess)
+        jax.block_until_ready(r.pose)
+        lane_ms[lanes] = round((time.perf_counter() - t0) / 8 * 1e3, 2)
+
+    # correctness AFTER all timing (transfers poison launch latency)
+    res = slam.result()
+    states = np.asarray(res.states)
+    ok_reloc = bool((states == 2).any())
+    stats = jax.local_devices()[0].memory_stats() or {}
+    return {
+        "serve_compile_s": round(t_compile, 1),
+        "serve_reloc_step_ms": round(reloc_ms, 2),
+        "serve_steady_step_ms": round(steady_ms, 2),
+        "serve_relocalized": ok_reloc,
+        "serve_final_state": res.state_name(),
+        "serve_tracked_frames": int((states == 2).sum()),
+        "reloc_lane_ms": lane_ms,
+        "hbm_in_use_gb": round(
+            stats.get("bytes_in_use", 0) / 1e9, 3) or None,
+    }
 
 
 if __name__ == "__main__":
