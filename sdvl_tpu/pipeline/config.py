@@ -88,8 +88,16 @@ class SdvlConfig:
                                   #   capacity; reference walks newest-first
                                   #   serially, sdvl.cc:205-238)
     use_pallas_detect: bool = False  # fused VMEM FAST+Shi-Tomasi kernel
-                                  #   (ops/pallas/detect.py) — TPU only;
-                                  #   the XLA path is the CI/CPU default
+                                  #   (ops/pallas/detect.py) — TPU only.
+                                  #   Off by MEASUREMENT, not neglect:
+                                  #   on-chip A/B (tools/profile_step.py,
+                                  #   round 4) scored the XLA path
+                                  #   0.055 ms vs Pallas 0.071 ms for the
+                                  #   full pyramid+detect stage — XLA's
+                                  #   fusion of the neighbor stack beats
+                                  #   the hand-tiled kernel at 640x480,
+                                  #   so the kernel stays an option for
+                                  #   larger frames, not the default
     use_affine_illum: bool = False  # gain/bias photometric model in direct
                                   #   alignment (solvers/image_align.py) —
                                   #   capability the reference lacks; off by
