@@ -362,8 +362,12 @@ def make_step(cfg: Config, undistort: bool):
         )
         if not s.localize_only:
             # frozen-map serving must not age out points that happen to be
-            # unobserved from the query viewpoints
-            m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
+            # unobserved from the query viewpoints; and NO frame counts
+            # failures while relocalizing (feature_align.cc:128,141) —
+            # else a LOST stretch deletes the map out from under the
+            # relocalizer
+            m = tracker.update_point_stats(m, tr, max_failed=s.max_failed,
+                                           enabled=~is_lost)
 
         ratio = tr.n_matches / jnp.maximum(tr.n_attempts, 1)
         quality = jnp.where(

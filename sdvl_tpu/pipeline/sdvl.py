@@ -193,7 +193,7 @@ class SDVL:
 
         @jax.jit
         def _track(m, last_pyr, last_idx, last_ok, pose_last, cur_pyr,
-                   pose_pred, key):
+                   pose_pred, key, stats_enabled):
             tr = tracker.track_frame(
                 m, intr, last_pyr, last_idx, last_ok, pose_last,
                 cur_pyr, pose_pred,
@@ -212,7 +212,11 @@ class SDVL:
                 orb_radius=s.orb_size // 2,
                 affine_illum=s.use_affine_illum,
             )
-            m = tracker.update_point_stats(m, tr, max_failed=s.max_failed)
+            # no failure counting while relocalizing
+            # (feature_align.cc:128,141) — a LOST stretch must not decay
+            # the map the relocalizer depends on
+            m = tracker.update_point_stats(m, tr, max_failed=s.max_failed,
+                                           enabled=stats_enabled)
             return m, tr
 
         @jax.jit
@@ -431,6 +435,7 @@ class SDVL:
                     self.m, ref_pyr, ref_idx, ref_ok, pose_ref, pyr,
                     pose_pred,
                     jax.random.fold_in(self.key0, self.frame_id),
+                    jnp.asarray(not was_lost),
                 )
                 if self._async_mapper is None:
                     self.m = m_tracked

@@ -115,16 +115,26 @@ def track_frame(m: MapState, intr, last_pyr, last_pt_idx: jnp.ndarray,
 
 
 def update_point_stats(m: MapState, tr: TrackResult,
-                       max_failed: int = 15) -> MapState:
+                       max_failed: int = 15,
+                       enabled=True) -> MapState:
     """Success/failure bookkeeping on tracked points.
 
     Mirrors the reference's per-point counters: found/fail counts and
     deletion after ``max_failed`` consecutive misses (point.cc:103-116,
     config.cc:62). Runs as two scatters.
+
+    ``enabled`` (scalar bool, may be traced) gates the whole update —
+    the reference counts NOTHING while relocalizing
+    (feature_align.cc:128,141 ``if (!relocalizing_)``). Without the gate,
+    a long LOST stretch decays every attempted point by ~1 failure per
+    frame and deletes the entire map in ``max_failed`` frames, after
+    which relocalization is impossible forever (measured: a 3000-frame
+    eviction-churn run collapsed to 46 live points and never recovered).
     """
     P = m.pt_valid.shape[0]
-    idx_ok = jnp.where(tr.match_ok, tr.match_pt_idx, P)
-    idx_bad = jnp.where(tr.match_attempted & ~tr.match_ok, tr.match_pt_idx, P)
+    idx_ok = jnp.where(enabled & tr.match_ok, tr.match_pt_idx, P)
+    idx_bad = jnp.where(enabled & tr.match_attempted & ~tr.match_ok,
+                        tr.match_pt_idx, P)
     pt_found = m.pt_found.at[idx_ok].add(1, mode="drop")
     pt_fail = m.pt_fail.at[idx_ok].set(0, mode="drop")
     pt_fail = pt_fail.at[idx_bad].add(1, mode="drop")

@@ -124,9 +124,28 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
         p_gt = evaluate.positions_from_poses(gt[idx])
         ate = float(evaluate.ate_rmse(p_est, p_gt, with_scale=True))
 
+    lost = np.flatnonzero(states == 3)
+    kf_frames = np.flatnonzero(np.asarray(r.is_keyframe))
+    is_lost = states == 3
+    edges = np.diff(is_lost.astype(np.int8))
+    seg_start = (np.flatnonzero(edges == 1) + 1).tolist()
+    seg_end = np.flatnonzero(edges == -1).tolist()
+    if len(is_lost) and is_lost[0]:
+        seg_start = [0] + seg_start
+    if len(seg_end) < len(seg_start):
+        seg_end.append(len(states) - 1)
+    nm = np.asarray(r.n_matches)
     stats = {
         "frames": int(n_frames),
         "tracked_ratio": round(float(running.mean()), 4),
+        "first_lost_frame": int(lost[0]) if len(lost) else None,
+        "n_lost_frames": int(len(lost)),
+        "lost_segments": [[int(a), int(b)] for a, b in
+                          zip(seg_start, seg_end)],
+        "matches_before_first_lost": (
+            [int(x) for x in nm[max(0, lost[0] - 12): lost[0]]]
+            if len(lost) else []),
+        "keyframe_frames": [int(k) for k in kf_frames],
         "final_state": r.state_name(),
         "reloc_after_blackout": reloc_ok,
         "keyframes_live": live_kf,
