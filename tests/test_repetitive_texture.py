@@ -133,3 +133,32 @@ def test_depth_filter_rejects_period_aliases(periodic_setup):
     assert (converged & (rel > 0.15)).sum() == 0, \
         f"{(converged & (rel > 0.15)).sum()} aliased depths converged"
     assert (converged & (rel < 0.05)).mean() > 0.0  # plenty accurate
+
+
+def test_no_point_decay_while_lost(periodic_setup):
+    """feature_align.cc:128,141: nothing is promoted or unpromoted while
+    relocalizing. A LOST stretch (e.g. covered lens) must not decay the
+    map the relocalizer depends on — measured regression: an ungated
+    stats fold deleted an entire 900-point map in max_failed frames."""
+    import numpy as np
+
+    from sdvl_tpu.pipeline import tracker
+
+    scene, intr, m, _ = periodic_setup
+    P = m.pt_valid.shape[0]
+    n = min(64, P)
+    # one failed attempt away from deletion (pt_fail > max_failed kills)
+    m = m._replace(pt_valid=jnp.ones(P, bool),
+                   pt_fail=jnp.full(P, 15, jnp.int32))
+
+    class TR:  # minimal TrackResult stand-in
+        match_pt_idx = jnp.arange(n, dtype=jnp.int32)
+        match_ok = jnp.zeros(n, bool)
+        match_attempted = jnp.ones(n, bool)
+
+    gated = tracker.update_point_stats(m, TR, max_failed=15,
+                                       enabled=jnp.asarray(False))
+    assert int(np.asarray(gated.pt_valid).sum()) == P  # untouched
+    ungated = tracker.update_point_stats(m, TR, max_failed=15,
+                                         enabled=jnp.asarray(True))
+    assert int(np.asarray(ungated.pt_valid).sum()) == P - n  # would decay
