@@ -95,11 +95,16 @@ class MultiStream:
                     f"snapshot capacities {m0.capacities} != config "
                     f"{cfg_caps}"
                 )
+            # NB: jnp.asarray, never np.asarray — when the snapshot is a
+            # live device tuple, a host round trip here would poison the
+            # whole process into ~25 ms/launch sync mode before serving
+            # even starts (observed as a 70-fps density report)
+            snap_pose = jnp.asarray(c_snap.pose)
             carries = [
                 init_carry(config, seed=seed + i)._replace(
                     state=jnp.asarray(STATE_LOST, jnp.int32),
                     lost_frames=jnp.asarray(3, jnp.int32),
-                    pose=jnp.asarray(np.asarray(c_snap.pose)),
+                    pose=snap_pose,
                 )
                 for i in range(n_streams)
             ]

@@ -71,33 +71,42 @@ def main():
     scene = PlaneScene(fx=fx, fy=fx, cx=W / 2 - 0.5, cy=H / 2 - 0.5,
                        width=W, height=H, plane_z=4.0)
 
-    # build ONE frozen map by running a short SLAM session
-    poses = scene.trajectory(40)
+    # build ONE frozen map by running a short SLAM session; query streams
+    # then REPLAY the same smooth trajectory (a continuous sequence —
+    # re-feeding one chunk in a loop would be a 16-frame jump-cut per
+    # chunk, forcing every stream through the reloc branch every frame)
+    n_chunks = args.chunks
+    poses = scene.trajectory(16 * (2 + n_chunks))
     frames = [np.round(np.clip(scene.render(p), 0, 255)).astype(np.uint8)
               for p in poses]
     src = SdvlStream(cfg, seed=0, donate=False)
-    for f in frames:
+    for f in frames[:40]:
         src.feed(f)
     src.block()
     frozen = (src.m, src.carry)
 
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("stream",))
-    chunk = np.stack(frames[8:24])  # (16, H, W)
 
     for n in (int(v) for v in args.streams.split(",")):
         t0 = time.perf_counter()
         ms = MultiStream(cfg, mesh, n_streams=n, seed=1, frozen_map=frozen)
-        imgs = np.broadcast_to(chunk[:, None], (16, n, H, W)).copy()
-        ms.feed_chunk(imgs)
+
+        def imgs_at(c):
+            blk = np.stack(frames[16 * c: 16 * (c + 1)])
+            return np.broadcast_to(blk[:, None], (16, n, H, W)).copy()
+
+        ms.feed_chunk(imgs_at(0))
+        ms.feed_chunk(imgs_at(1))
         ms.block()
         compile_s = time.perf_counter() - t0
 
+        chunks = [imgs_at(2 + c) for c in range(n_chunks)]
         t0 = time.perf_counter()
-        for _ in range(args.chunks):
+        for imgs in chunks:
             ms.feed_chunk(imgs)
         ms.block()
         dt = time.perf_counter() - t0
-        agg_fps = 16 * args.chunks * n / dt
+        agg_fps = 16 * n_chunks * n / dt
         print(json.dumps({
             "streams_per_device": n,
             "compile_s": round(compile_s, 1),
