@@ -88,7 +88,8 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                       stale_kf_window: int = 10,
                       map_scale: float = 1.0,
                       scale_min_dist: float = 0.25,
-                      corner_gate: bool = False) -> MapState:
+                      corner_gate: bool = False,
+                      corner_thresh: float = 50.0) -> MapState:
     """Epipolar-match every candidate and update its depth filter.
 
     Mirrors Map::UpdateCandidates (map.cc:402-498): match -> triangulate ->
@@ -117,7 +118,7 @@ def update_candidates(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
     res: EpipolarResult = epipolar_search(
         m, intr, cur_pyr, pose_cur, n_samples=n_samples, use_orb=use_orb,
         half=patch_half, lk_iters=lk_iters, orb_radius=orb_radius,
-        corner_gate=corner_gate,
+        corner_gate=corner_gate, corner_thresh=corner_thresh,
     )
 
     T_cur_ref = se3.compose(pose_cur[None], se3.inverse(m.kf_pose[m.cand_kf]))
@@ -296,7 +297,9 @@ def triangulate_new_seeds(m: MapState, intr, anchor_slot,
                           map_scale: float = 1.0,
                           use_orb: bool = False, patch_half: int = 4,
                           lk_iters: int = 8,
-                          orb_radius: int = 15) -> MapState:
+                          orb_radius: int = 15,
+                          corner_gate: bool = False,
+                          corner_thresh: float = 50.0) -> MapState:
     """Re-center fresh seeds at a triangulated depth.
 
     Mirrors the triangulation half of Map::InitCandidates (reference
@@ -331,7 +334,9 @@ def triangulate_new_seeds(m: MapState, intr, anchor_slot,
     res = epipolar_search(m_search, intr, ref_pyr, ref_pose,
                           n_samples=n_samples, use_orb=use_orb,
                           half=patch_half, lk_iters=lk_iters,
-                          orb_radius=orb_radius)
+                          orb_radius=orb_radius,
+                          corner_gate=corner_gate,
+                          corner_thresh=corner_thresh)
 
     z = jnp.maximum(res.depth_anchor, 1e-6)
     p_anchor = m.cand_bearing * z[:, None]

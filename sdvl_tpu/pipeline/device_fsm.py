@@ -419,6 +419,8 @@ def make_step(cfg: Config, undistort: bool):
                     use_orb=s.use_orb, epipolar_samples=s.epipolar_samples,
                     patch_half=s.patch_size // 2, lk_iters=s.max_align_its,
                     orb_radius=s.orb_size // 2,
+                    corner_gate=s.epipolar_corner_gate,
+                    corner_thresh=s.min_feature_score,
                 )
                 m = mapper.local_ba(
                     m, intr, slot,
@@ -442,6 +444,7 @@ def make_step(cfg: Config, undistort: bool):
                     stale_kf_window=2 * s.max_search_keyframes,
                     map_scale=s.map_scale, scale_min_dist=s.scale_min_dist,
                     corner_gate=s.epipolar_corner_gate,
+                    corner_thresh=s.min_feature_score,
                 )
             carry = carry._replace(
                 pose=tr.pose,
@@ -471,8 +474,12 @@ def make_step(cfg: Config, undistort: bool):
         # cell). In FIRST/SECOND states last_ok is all-False -> no-op.
         pts_cam = se3.transform(carry.pose, m.pt_pos[carry.last_idx])
         lock_xy = cam.project(intr, pts_cam)
+        # in-bounds: occupied_cells clips coordinates into the grid, so an
+        # off-image projection (stale match set + extrapolated pose during
+        # LOST) would otherwise lock a border cell it isn't in
         lock_valid = (carry.last_ok & m.pt_valid[carry.last_idx]
-                      & (pts_cam[:, 2] > 0.0))
+                      & (pts_cam[:, 2] > 0.0)
+                      & cam.in_bounds(intr, lock_xy, margin=0))
         pyr, corners = preprocess(img, grid, lock_xy, lock_valid)
 
         # localize_only sessions start in LOST against a loaded map; the

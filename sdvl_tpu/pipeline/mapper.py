@@ -37,7 +37,9 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
                  scale_min_dist: float = 0.25, map_scale: float = 1.0,
                  use_orb: bool = False, epipolar_samples: int = 32,
                  patch_half: int = 4, lk_iters: int = 8,
-                 orb_radius: int = 15):
+                 orb_radius: int = 15,
+                 corner_gate: bool = False,
+                 corner_thresh: float = 50.0):
     """Insert the current frame as a keyframe.
 
     Combines reference AddKeyframe + CheckConnections + AddConnectionsPoints
@@ -122,6 +124,7 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
         n_best=n_search_kf, scale_min_dist=scale_min_dist,
         map_scale=map_scale, use_orb=use_orb, patch_half=patch_half,
         lk_iters=lk_iters, orb_radius=orb_radius,
+        corner_gate=corner_gate, corner_thresh=corner_thresh,
     )
     return m, slot
 
@@ -135,7 +138,8 @@ def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
                stale_kf_window: int = 10,
                map_scale: float = 1.0,
                scale_min_dist: float = 0.25,
-               corner_gate: bool = False) -> MapState:
+               corner_gate: bool = False,
+               corner_thresh: float = 50.0) -> MapState:
     """Per-frame mapper iteration (Map::UpdateMap, map.cc:73-143): update
     all candidate depth filters against this frame, promote converged ones,
     and retire one redundant keyframe if any (the reference runs
@@ -148,7 +152,7 @@ def update_map(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
         lk_iters=lk_iters, orb_radius=orb_radius,
         stale_kf_window=stale_kf_window,
         map_scale=map_scale, scale_min_dist=scale_min_dist,
-        corner_gate=corner_gate,
+        corner_gate=corner_gate, corner_thresh=corner_thresh,
     )
     m = depth_filter.promote_converged(m, threshold_converged)
     if prune_redundant:

@@ -338,8 +338,10 @@ def epipolar_search(m: MapState, intr, cur_pyr, pose_cur: jnp.ndarray,
 
         gate_maps = tuple(
             jax.lax.reduce_window(
-                fast_ops.shi_tomasi(p), -jnp.inf, jax.lax.max,
-                (3, 3), (1, 1), "SAME",
+                # f32 cast: seed-triangulation passes a uint8 keyframe
+                # pyramid; Shi-Tomasi in integer arithmetic would overflow
+                fast_ops.shi_tomasi(p.astype(jnp.float32)), -jnp.inf,
+                jax.lax.max, (3, 3), (1, 1), "SAME",
             )
             for p in cur_pyr
         )

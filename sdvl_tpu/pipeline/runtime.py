@@ -72,22 +72,27 @@ class AsyncMapper:
         self.thread.start()
 
     # ------------------------------------------------------------- tracker side
-    def submit_frame(self, tr, pyr, pose) -> None:
+    def submit_frame(self, tr, pyr, pose, stats_enabled=True) -> None:
         """Enqueue a tracked frame for depth-filter updates. If the mapper
         is behind, the frame is dropped (reference map.cc:99-106 discards
-        frame backlog — depth filters just get fewer measurements)."""
+        frame backlog — depth filters just get fewer measurements).
+        ``stats_enabled`` False = the frame was a relocalization recovery;
+        its match failures must not decay point stats
+        (feature_align.cc:128,141)."""
         self._check()
         try:
-            self.q.put_nowait(_Work("frame", (tr, pyr, pose)))
+            self.q.put_nowait(_Work("frame", (tr, pyr, pose, stats_enabled)))
         except queue.Full:
             self.dropped_frames += 1
 
-    def submit_keyframe(self, tr, pyr, pose, frame_id, corners) -> None:
+    def submit_keyframe(self, tr, pyr, pose, frame_id, corners,
+                        stats_enabled=True) -> None:
         """Enqueue keyframe insertion (+BA +prune). Blocks if full —
         keyframes are never dropped (reference map.cc:92-97 prefers
         keyframes over any frame backlog)."""
         self._check()
-        self.q.put(_Work("keyframe", (tr, pyr, pose, frame_id, corners)))
+        self.q.put(_Work("keyframe",
+                         (tr, pyr, pose, frame_id, corners, stats_enabled)))
 
     def barrier(self, timeout: float = 60.0) -> None:
         """Wait until all enqueued work is folded in (for eval/shutdown)."""
@@ -123,12 +128,12 @@ class AsyncMapper:
                     work.payload[0].set()
                     continue
                 if work.kind == "frame":
-                    tr, pyr, pose = work.payload
-                    m = slam._update_stats(slam.m, tr)
+                    tr, pyr, pose, stats_on = work.payload
+                    m = slam._update_stats(slam.m, tr, stats_on)
                     m = slam._update_map(m, pyr, pose)
                 elif work.kind == "keyframe":
-                    tr, pyr, pose, frame_id, corners = work.payload
-                    m = slam._update_stats(slam.m, tr)
+                    tr, pyr, pose, frame_id, corners, stats_on = work.payload
+                    m = slam._update_stats(slam.m, tr, stats_on)
                     m, slot = slam._add_keyframe(
                         m, pyr, pose, frame_id,
                         tr.match_pt_idx, tr.match_px, tr.match_ok,

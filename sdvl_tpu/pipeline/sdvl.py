@@ -135,7 +135,10 @@ class SDVL:
             (inter-frame motion is << a cell)."""
             pts_cam = se3.transform(pose, pt_pos[idx])
             lock_xy = cam.project(intr, pts_cam)
-            lock_valid = ok & pt_valid[idx] & (pts_cam[:, 2] > 0.0)
+            # in-bounds: occupied_cells clips into the grid, so off-image
+            # projections would wrongly lock border cells
+            lock_valid = (ok & pt_valid[idx] & (pts_cam[:, 2] > 0.0)
+                          & cam.in_bounds(intr, lock_xy, margin=0))
             return _pre(img, grid, lock_xy, lock_valid)
 
         @jax.jit
@@ -220,10 +223,13 @@ class SDVL:
             return m, tr
 
         @jax.jit
-        def _update_stats(m, tr):
+        def _update_stats(m, tr, enabled):
             """Standalone stat fold for the async mapper (runtime.py), which
-            owns all map writes and replays the tracker's stat update."""
-            return tracker.update_point_stats(m, tr, max_failed=s.max_failed)
+            owns all map writes and replays the tracker's stat update —
+            including the relocalizing gate (feature_align.cc:128,141), so
+            async and sync drivers decay points identically."""
+            return tracker.update_point_stats(m, tr, max_failed=s.max_failed,
+                                              enabled=enabled)
 
         @jax.jit
         def _update_map(m, cur_pyr, pose):
@@ -238,6 +244,7 @@ class SDVL:
                 stale_kf_window=2 * s.max_search_keyframes,
                 map_scale=s.map_scale, scale_min_dist=s.scale_min_dist,
                 corner_gate=s.epipolar_corner_gate,
+                corner_thresh=s.min_feature_score,
             )
 
         @jax.jit
@@ -349,9 +356,12 @@ class SDVL:
         s = self.cfg.sdvl
         with self.tracer.span("preprocess"):
             if self.last_match_idx is not None:
+                m_now = self.m   # ONE read: the async mapper publishes via
+                                 # a single attribute store; two reads could
+                                 # mix fields from different map versions
                 pyr, corners = self._preprocess_locked(
-                    self._crop(img), self._undistort_grid, self.m.pt_pos,
-                    self.m.pt_valid, self.last_match_idx,
+                    self._crop(img), self._undistort_grid, m_now.pt_pos,
+                    m_now.pt_valid, self.last_match_idx,
                     self.last_match_ok, self.last_pose,
                 )
             else:
@@ -499,10 +509,12 @@ class SDVL:
                         self._async_mapper.submit_keyframe(
                             tr, pyr, tr.pose,
                             jnp.asarray(self.frame_id, jnp.int32), corners,
+                            stats_enabled=jnp.asarray(not was_lost),
                         )
                     else:
                         self._async_mapper.submit_frame(
-                            tr, pyr, self.last_pose
+                            tr, pyr, self.last_pose,
+                            stats_enabled=jnp.asarray(not was_lost),
                         )
                 else:
                     if is_kf:

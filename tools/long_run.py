@@ -101,6 +101,7 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
             t0 = time.perf_counter()
     slam.block()
     wall = time.perf_counter() - t0
+    n_steady = n_frames - chunk  # first chunk excluded from the clock
 
     r = slam.result()
     states = np.asarray(r.states)
@@ -152,7 +153,7 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
         "keyframes_total_inserted": total_kf,
         "points_live": live_pts,
         "ate_rmse": None if ate is None else round(ate, 4),
-        "fps": round(n_frames / wall, 1),
+        "fps": round(n_steady / wall, 1),
         "compile_s": round(t_comp, 1),
     }
     return r, gt, stats
