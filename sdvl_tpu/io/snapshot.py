@@ -41,6 +41,11 @@ def _map_to_arrays(m: MapState) -> dict:
     return out
 
 
+# scalar counters added after snapshots already existed in the wild: a
+# missing key loads as 0 instead of failing the whole restore
+_COUNTER_DEFAULTS = ("n_evicted", "n_pruned")
+
+
 def _map_from_arrays(z) -> MapState:
     levels = sum(1 for k in z.files if k.startswith("map.kf_pyr."))
     kw = {}
@@ -49,6 +54,8 @@ def _map_from_arrays(z) -> MapState:
             kw[name] = tuple(
                 jnp.asarray(z[_PYR_KEY.format(i=i)]) for i in range(levels)
             )
+        elif f"map.{name}" not in z.files and name in _COUNTER_DEFAULTS:
+            kw[name] = jnp.asarray(0, jnp.int32)
         else:
             kw[name] = jnp.asarray(z[f"map.{name}"])
     return MapState(**kw)
@@ -198,6 +205,8 @@ def _tree_from_arrays(prefix: str, cls, z):
         flat_key = f"{prefix}.{name}"
         if flat_key in z.files:
             kw[name] = jnp.asarray(z[flat_key])
+        elif name in _COUNTER_DEFAULTS:
+            kw[name] = jnp.asarray(0, jnp.int32)
         else:
             n = sum(1 for k in z.files if k.startswith(flat_key + "."))
             kw[name] = tuple(

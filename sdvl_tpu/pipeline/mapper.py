@@ -72,6 +72,7 @@ def add_keyframe(m: MapState, intr, pyr, pose: jnp.ndarray,
         # re-anchoring would need a search, so they are dropped (the
         # reference deletes such points with the KF too, map.cc:190-205)
         pt_valid=m.pt_valid & ~(full & (m.pt_anchor_kf == slot)),
+        n_evicted=m.n_evicted + full.astype(jnp.int32),
     )
 
     # write keyframe (store quantizes to uint8, map_state.store_pyramid)
@@ -340,6 +341,15 @@ def check_redundant_keyframes(m: MapState) -> MapState:
     ``cnt_le[l1+1, p] - 1`` as its same-or-finer-scale support from other
     keyframes (the -1 removes the observation itself, which always passes
     its own scale test). The newest two keyframes are protected.
+
+    Points ANCHORED at the pruned keyframe are re-homed, not dropped: the
+    dense observation structure carries per-KF ``obs_px``/``obs_level`` for
+    every observer, so the anchor role (patch source + measured level,
+    matcher._anchor_data) moves to the point's newest other observer in one
+    gather. The anchor ORB descriptor is kept — it describes the point's
+    appearance, like the reference Feature's stored descriptor. Without
+    re-homing the ">=80% redundant" test almost never fires in practice:
+    as a map matures every keyframe anchors something (round-4 review).
     """
     K, P, _ = m.capacities
     L = len(m.kf_pyr)
@@ -356,14 +366,20 @@ def check_redundant_keyframes(m: MapState) -> MapState:
     frac = per_kf_red / jnp.maximum(per_kf_total, 1)
     newest = jnp.argsort(-jnp.where(m.kf_valid, m.kf_frame_id, -1))[:2]
     protect = jnp.zeros(K, bool).at[newest].set(True)
-    # anchors: a KF that anchors live points can't die silently
-    anchors = jnp.zeros(K, bool).at[
-        jnp.where(m.pt_valid, m.pt_anchor_kf, K)
-    ].set(True, mode="drop")
-    drop = m.kf_valid & (frac > 0.8) & (per_kf_total > 10) & ~protect & ~anchors
+    drop = m.kf_valid & (frac > 0.8) & (per_kf_total > 10) & ~protect
     # drop at most one per call (like one pass of the reference loop)
     first = jnp.argmax(drop)
     do = jnp.any(drop)
+
+    # re-home anchors before the obs row dies: newest OTHER observer wins
+    obs_other = obs_at & (jnp.arange(K) != first)[:, None]       # (K, P)
+    alt_key = jnp.where(obs_other, m.kf_frame_id[:, None], -1)
+    new_anchor = jnp.argmax(alt_key, axis=0).astype(jnp.int32)   # (P,)
+    has_alt = jnp.any(obs_other, axis=0)
+    rehome = do & m.pt_valid & (m.pt_anchor_kf == first)
+    pt_anchor_kf = jnp.where(rehome & has_alt, new_anchor, m.pt_anchor_kf)
+    pt_valid = m.pt_valid & ~(rehome & ~has_alt)
+
     kf_valid = m.kf_valid.at[first].set(
         jnp.where(do, False, m.kf_valid[first])
     )
@@ -374,7 +390,9 @@ def check_redundant_keyframes(m: MapState) -> MapState:
         do & (m.cand_kf == first), False, m.cand_valid
     )
     return m._replace(kf_valid=kf_valid, obs_mask=obs_mask,
-                      cand_valid=cand_valid)
+                      cand_valid=cand_valid, pt_anchor_kf=pt_anchor_kf,
+                      pt_valid=pt_valid,
+                      n_pruned=m.n_pruned + do.astype(jnp.int32))
 
 
 def need_keyframe(n_matches, kf_matches, frames_since_kf,

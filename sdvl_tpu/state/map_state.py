@@ -88,6 +88,10 @@ class MapState(NamedTuple):
 
     # --- counters ---
     n_keyframes: jnp.ndarray       # () int32 total ever added
+    n_evicted: jnp.ndarray         # () int32 keyframes removed by the
+                                   #   capacity cap (map.cc:190-205 analog)
+    n_pruned: jnp.ndarray          # () int32 keyframes removed as redundant
+                                   #   (map.cc:619-687 analog)
 
     @property
     def capacities(self):
@@ -137,6 +141,8 @@ def empty_map(n_kf: int, n_pts: int, n_cand: int, img_shape: Tuple[int, int],
         cand_fail=jnp.zeros(n_cand, jnp.int32),
         cand_desc=jnp.zeros((n_cand, 8), jnp.uint32),
         n_keyframes=jnp.asarray(0, jnp.int32),
+        n_evicted=jnp.asarray(0, jnp.int32),
+        n_pruned=jnp.asarray(0, jnp.int32),
     )
 
 

@@ -289,12 +289,16 @@ def _redundancy_map(obs_level_others: int):
     for k in observers:
         obs_mask = obs_mask.at[k, :P].set(True)
         obs_level = obs_level.at[k, :P].set(obs_level_others)
-    # newest-two protection covers KFs 3 and 4; KF 1 anchors the points so
-    # only KF 2 is eligible for pruning
+    # newest-two protection covers KFs 3 and 4; KF 1 additionally observes
+    # 16 points of its own (nobody else sees them), so its redundant
+    # fraction is 0.5 < 0.8 and only KF 2 is eligible for pruning. (Before
+    # round 5 this was done via the anchor exemption, which anchor
+    # re-homing removed.)
+    obs_mask = obs_mask.at[1, P:2 * P].set(True)
     return m._replace(
         kf_valid=kf_valid, kf_frame_id=kf_frame_id, obs_mask=obs_mask,
         obs_level=obs_level,
-        pt_valid=m.pt_valid.at[:P].set(True),
+        pt_valid=m.pt_valid.at[:2 * P].set(True),
         pt_anchor_kf=jnp.ones_like(m.pt_anchor_kf),
     )
 

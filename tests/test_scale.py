@@ -158,7 +158,7 @@ def test_redundant_prune_drains_every_frame():
     K, P = 6, 32
     m = empty_map(n_kf=K, n_pts=P, n_cand=8, img_shape=(H, W), levels=levels)
     # five keyframes all observing all 32 points -> three old ones (beyond
-    # the protected newest two and the anchor) are redundant simultaneously
+    # the protected newest two) are redundant simultaneously
     m = m._replace(
         kf_valid=m.kf_valid.at[:5].set(True),
         kf_frame_id=m.kf_frame_id.at[:5].set(jnp.arange(5, dtype=jnp.int32)),
@@ -178,8 +178,45 @@ def test_redundant_prune_drains_every_frame():
     n1 = int(np.asarray(m1.kf_valid).sum())
     n2 = int(np.asarray(m2.kf_valid).sum())
     assert n0 == 5 and n1 == 4 and n2 == 3, (n0, n1, n2)
-    # protected set survives: newest two + the anchor keyframe
+    # protected set survives: the newest two
     assert bool(m2.kf_valid[4]) and bool(m2.kf_valid[3])
+    # prune events are counted in the map state (LONGRUN artifact source)
+    assert int(m1.n_pruned) == 1 and int(m2.n_pruned) == 2
+
+
+def test_prune_rehomes_anchors():
+    """Pruning a keyframe that ANCHORS live points must re-home the anchors
+    to another observer instead of exempting the keyframe forever (round-4
+    review: the anchor exemption made map.cc:619-687 parity near-inert,
+    since a mature map anchors something at almost every keyframe)."""
+    H, W, levels = 64, 96, 3
+    K, P = 6, 32
+    m = empty_map(n_kf=K, n_pts=P, n_cand=8, img_shape=(H, W), levels=levels)
+    obs_px = jnp.tile(jnp.asarray([[40.0, 30.0]]), (K, P, 1))
+    m = m._replace(
+        kf_valid=m.kf_valid.at[:5].set(True),
+        kf_frame_id=m.kf_frame_id.at[:5].set(jnp.arange(5, dtype=jnp.int32)),
+        pt_valid=m.pt_valid.at[:].set(True),
+        # every point anchored at the OLDEST keyframe — the prune target
+        pt_anchor_kf=m.pt_anchor_kf.at[:].set(0),
+        obs_mask=m.obs_mask.at[:5, :].set(True),
+        obs_px=obs_px,
+        n_keyframes=jnp.asarray(5, jnp.int32),
+    )
+    m1 = jax.jit(mapper.check_redundant_keyframes)(m)
+    assert int(m1.n_pruned) == 1
+    assert not bool(m1.kf_valid[0])          # the anchor KF was prunable
+    assert bool(np.asarray(m1.pt_valid).all())  # no point died with it
+    anchors = np.asarray(m1.pt_anchor_kf)
+    assert (anchors == 4).all(), anchors     # re-homed to newest observer
+    # a point with NO other observer dies with its anchor keyframe
+    m_lone = m._replace(
+        obs_mask=m.obs_mask.at[1:, 0].set(False),  # point 0 seen only by KF0
+    )
+    m2 = jax.jit(mapper.check_redundant_keyframes)(m_lone)
+    assert not bool(m2.kf_valid[0])
+    assert not bool(m2.pt_valid[0])
+    assert bool(np.asarray(m2.pt_valid)[1:].all())
 
 
 def test_long_sequence_keyframes_bounded():
