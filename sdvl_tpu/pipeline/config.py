@@ -87,6 +87,17 @@ class SdvlConfig:
                                   #   (bounds the vmap fan-out at Zurich
                                   #   capacity; reference walks newest-first
                                   #   serially, sdvl.cc:205-238)
+    reloc_escalate_after: int = 8 # kidnapped-robot escape hatch: after this
+                                  #   many consecutive failed frames WHILE
+                                  #   LOST, sweep ALL keyframes instead of
+                                  #   the nearest reloc_max_keyframes (a
+                                  #   teleport makes the pose guess garbage,
+                                  #   so the spatial prior selects the wrong
+                                  #   lanes; the reference's walk is always
+                                  #   global, sdvl.cc:205-238). < 0 disables
+                                  #   escalation; irrelevant when
+                                  #   max_keyframes <= reloc_max_keyframes
+                                  #   (the bounded pass is already global)
     use_pallas_detect: bool = False  # fused VMEM FAST+Shi-Tomasi kernel
                                   #   (ops/pallas/detect.py) — TPU only.
                                   #   Off by MEASUREMENT, not neglect:
@@ -187,6 +198,19 @@ def _parse_opencv_yaml(path: str) -> dict:
                                 out[key] = float(tok)
                             except ValueError:
                                 out[key] = raw
+                        if not isinstance(out[key], str):
+                            # the repair is deliberate but must be LOUD: a
+                            # future multi-valued numeric field would
+                            # otherwise parse as a plausible scalar with
+                            # the tail silently discarded
+                            import warnings
+
+                            warnings.warn(
+                                f"{path}: '{key}: {raw}' is not a valid "
+                                f"scalar; keeping first token {tok!r} and "
+                                f"discarding the rest",
+                                stacklevel=3,
+                            )
     return out
 
 

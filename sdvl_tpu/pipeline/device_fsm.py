@@ -324,9 +324,27 @@ def make_step(cfg: Config, undistort: bool):
             """Relocalize (sdvl.cc:205-238): the alignment reference becomes
             the best-matching KEYFRAME (its pyramid, pose and observed
             points), not the previous — possibly garbage — frame."""
-            rl = relocalize.relocalize(m, intr, pyr, carry.pose,
-                                       level=min(4, levels - 1),
-                                       max_kf=s.reloc_max_keyframes)
+            lvl = min(4, levels - 1)
+
+            def reloc_at(max_kf):
+                return relocalize.relocalize(m, intr, pyr, carry.pose,
+                                             level=lvl, max_kf=max_kf)
+
+            if (s.reloc_escalate_after >= 0
+                    and s.max_keyframes > s.reloc_max_keyframes):
+                # kidnapped-robot escape hatch: the nearest-to-guess lane
+                # prior is wrong after a teleport (the guess is garbage) —
+                # after reloc_escalate_after failed frames, pay for the
+                # full-K sweep the reference always does (sdvl.cc:205-238).
+                # lost_frames counts from 0; LOST begins at 3 (bad_path)
+                rl = jax.lax.cond(
+                    carry.lost_frames >= 3 + s.reloc_escalate_after,
+                    lambda _: reloc_at(s.max_keyframes),
+                    lambda _: reloc_at(s.reloc_max_keyframes),
+                    None,
+                )
+            else:
+                rl = reloc_at(s.reloc_max_keyframes)
             # f32: lax.cond branch outputs must match do_predict's dtype
             ref_pyr = tuple(p[rl.kf].astype(jnp.float32) for p in m.kf_pyr)
             obs = m.obs_mask[rl.kf] & m.pt_valid
@@ -452,8 +470,17 @@ def make_step(cfg: Config, undistort: bool):
                 lost_frames=jnp.asarray(0, jnp.int32),
                 state=jnp.asarray(STATE_RUNNING, jnp.int32),
                 frames_since_kf=jnp.where(is_kf, 0, frames_since_kf),
+                # HIGH-WATER mark, not the at-KF snapshot (deliberate
+                # departure from map.cc:170-188, identical whenever matches
+                # only decay after a keyframe — the reference's handheld
+                # regime): freshly promoted candidates can push matches
+                # well ABOVE the insertion-time count (measured 21 -> 56 at
+                # fast sweep speeds), and a stale low snapshot then blinds
+                # the "lost > 0.1" decay test for the whole overshoot —
+                # a 70-frame keyframe stall that starves the map
                 kf_matches=jnp.where(
-                    is_kf, jnp.maximum(tr.n_matches, 1), carry.kf_matches
+                    is_kf, jnp.maximum(tr.n_matches, 1),
+                    jnp.maximum(carry.kf_matches, tr.n_matches)
                 ),
                 last_idx=tr.match_pt_idx,
                 last_ok=tr.match_ok,

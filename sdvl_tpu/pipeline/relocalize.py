@@ -14,8 +14,11 @@ argsort into every localize-serving step. ``max_kf`` lanes are selected by
 proximity of each keyframe's camera centre to the pose guess (newest-first
 tie-break — the reference's walk order): O(K) distance work per call,
 O(max_kf) everything else. Serving relocalizes from the last tracked pose,
-where the spatial prior is exactly right; a sweep of ALL keyframes is one
-``max_kf=K`` call away if the guess is genuinely garbage.
+where the spatial prior is exactly right. When the guess is genuinely
+garbage (kidnapped robot / teleport), both drivers ESCALATE to a
+``max_kf=K`` all-keyframe sweep after ``Config.reloc_escalate_after``
+consecutive failed LOST frames (device_fsm.do_reloc, sdvl.handle_frame) —
+the reference's global walk, paid for only when the prior has failed.
 """
 
 from __future__ import annotations

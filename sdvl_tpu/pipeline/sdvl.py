@@ -299,6 +299,13 @@ class SDVL:
             return relocalize.relocalize(m, intr, cur_pyr, pose_guess,
                                          max_kf=s.reloc_max_keyframes)
 
+        @jax.jit
+        def _relocalize_full(m, cur_pyr, pose_guess):
+            # kidnapped-robot escalation: all-keyframe sweep (compiled
+            # lazily — a session that never escalates never pays for it)
+            return relocalize.relocalize(m, intr, cur_pyr, pose_guess,
+                                         max_kf=s.max_keyframes)
+
         @functools.partial(jax.jit, static_argnames=("n_ref",))
         def _reloc_ref(m, kf, n_ref):
             """Tracking reference for a relocalized frame: the winning
@@ -328,6 +335,7 @@ class SDVL:
         self._motion_update = _motion_update
         self._predict = _predict
         self._relocalize = _relocalize
+        self._relocalize_full = _relocalize_full
         self._reloc_ref = _reloc_ref
         self._prune = _prune
         self._match_initial = _match_initial
@@ -428,7 +436,16 @@ class SDVL:
             was_lost = self.state == TrackingState.LOST
             if was_lost:
                 with self.tracer.span("relocalize"):
-                    rl = self._relocalize(self.m, pyr, self.last_pose)
+                    # escalation condition mirrors device_fsm.do_reloc
+                    # exactly (driver-equivalence tests compare the FSMs)
+                    escalate = (
+                        s.reloc_escalate_after >= 0
+                        and s.max_keyframes > s.reloc_max_keyframes
+                        and self.lost_frames >= 3 + s.reloc_escalate_after
+                    )
+                    reloc_fn = (self._relocalize_full if escalate
+                                else self._relocalize)
+                    rl = reloc_fn(self.m, pyr, self.last_pose)
                     pose_pred = rl.pose
                     ref_pyr, ref_idx, ref_ok, pose_ref = self._reloc_ref(
                         self.m, rl.kf, self.last_match_idx.shape[0]
@@ -501,6 +518,13 @@ class SDVL:
                     self.kf_matches = max(n_matches, 1)
                     self.frames_since_kf = 0
                     info["keyframe"] = True
+                else:
+                    # high-water mark, mirroring device_fsm.good_path (see
+                    # the comment there): candidate promotions can push
+                    # matches above the at-KF snapshot, and the decay test
+                    # must measure against the best recent coverage or it
+                    # stalls for the whole overshoot
+                    self.kf_matches = max(self.kf_matches, n_matches)
 
                 if self._async_mapper is not None:
                     # hand mapping work to the mapper thread (reference
