@@ -83,6 +83,13 @@ class MultiStream:
         if self.frozen:
             from ..io.snapshot import load_stream_arrays
 
+            # ALIASING CONTRACT (round-4 advisor): a live (MapState,
+            # SlamCarry) tuple is adopted BY REFERENCE — no copy, no host
+            # round trip. The source session must be quiescent (or have
+            # fed its last chunk with donation disabled): if it keeps
+            # stepping with donated buffers, XLA may invalidate the very
+            # buffers this server is reading. Pass a snapshot PATH for a
+            # fully decoupled (freshly loaded) map instead.
             m0, c_snap = (frozen_map if isinstance(frozen_map, tuple)
                           else load_stream_arrays(frozen_map))
             # carry-only init: N carries + ONE map; going through

@@ -224,12 +224,17 @@ def occupied_cells(feature_xy: jnp.ndarray, feature_valid: jnp.ndarray,
     """(gh*gw,) bool mask of grid cells containing a valid feature.
 
     Scatter-based replacement for the reference's LockCell bookkeeping.
-    ``feature_xy`` is in level-0 coordinates.
+    ``feature_xy`` is in level-0 coordinates. Features in the border
+    remnant the grid does not cover (e.g. y in [gh*cell, height)) lock NO
+    cell — clipping them in would wrongly suppress the last in-grid
+    row/column (round-4 advisor finding).
     """
     gh, gw = height // cell, width // cell
+    in_grid = ((feature_xy[:, 0] >= 0) & (feature_xy[:, 0] < gw * cell)
+               & (feature_xy[:, 1] >= 0) & (feature_xy[:, 1] < gh * cell))
     cx = jnp.clip((feature_xy[:, 0] // cell).astype(jnp.int32), 0, gw - 1)
     cy = jnp.clip((feature_xy[:, 1] // cell).astype(jnp.int32), 0, gh - 1)
     flat = cy * gw + cx
     occ = jnp.zeros((gh * gw,), jnp.int32)
-    occ = occ.at[flat].add(feature_valid.astype(jnp.int32))
+    occ = occ.at[flat].add((feature_valid & in_grid).astype(jnp.int32))
     return occ > 0

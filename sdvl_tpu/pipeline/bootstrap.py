@@ -7,9 +7,12 @@ homography + decomposition (via sdvl_tpu.solvers.homography), inlier
 triangulation and map-scale normalization (homography_init.cc:112-182).
 
 Note: the reference additionally rotates the initial map so the dominant
-plane is z=0 (Map::TransformInitialMap, map.cc:704-837) — a visualization
-nicety with no effect on trajectory accuracy (ATE is computed after Umeyama
-alignment); we keep the first camera as the world origin instead.
+plane is z=0 (Map::TransformInitialMap, map.cc:704-837). That step is
+implemented in mapper.transform_initial_map and runs right after seeding
+when ``Config.align_ground_plane`` is set (the default) — see
+device_fsm.seed_map and sdvl.handle_frame, which also rebase the emitted
+trajectory by the returned world transform. It is not part of THIS module
+because it operates on the seeded MapState, not the two-view geometry.
 """
 
 from __future__ import annotations

@@ -93,6 +93,18 @@ def test_occupied_cells():
     assert occ[0, 0] and occ.sum() == 1
 
 
+def test_occupied_cells_border_remnant_locks_nothing():
+    """A 240px-tall image with cell=32 has a 224px grid: a feature at
+    y=230 sits in the uncovered remnant and must NOT lock the last grid
+    row (round-4 advisor: clipping suppressed detectable corners there)."""
+    xy = jnp.asarray([[50.0, 230.0], [310.0, 100.0], [-3.0, 10.0]])
+    valid = jnp.asarray([True, True, True])
+    occ = fast.occupied_cells(xy, valid, height=240, width=320, cell=32)
+    occ = np.asarray(occ).reshape(7, 10)
+    # only the genuinely in-grid feature (310, 100) locks its cell
+    assert occ.sum() == 1 and occ[100 // 32, 310 // 32]
+
+
 def test_zmssd_prefers_true_match(test_img):
     img = jnp.asarray(test_img)
     ref = interp.extract_patches(img, jnp.asarray([[40.0, 33.0]]), half=4)[0]
