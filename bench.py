@@ -70,8 +70,10 @@ def make_setup(preset: bool = False):
     short-horizon tracker. ``preset=True`` mirrors the shape every
     reference dataset preset ships (config/config_tum_f1.cfg: use_orb=1,
     num_features=1000, max_matches=200; max_keyframes bounded to 100 per
-    the round-3 review) so the headline number runs the same machine the
-    accuracy comparisons do. Distortion stays off in BOTH systems'
+    the round-3 review) — the same SdvlConfig shape
+    tools/compare_reference.py's default ``--mode preset`` scores for
+    accuracy (run_ours preset=True), so the headline throughput and the
+    head-to-head ATE describe one machine. Distortion stays off in BOTH systems'
     measurements (the synthetic camera is undistorted;
     tools/measure_reference.py uses the same geometry)."""
     from sdvl_tpu.io.synthetic import PlaneScene
@@ -179,6 +181,21 @@ def main():
 
     preset_fps, check_p = run_mode(preset=True, n_windows=4)
     light_fps, check_l = run_mode(preset=False, n_windows=4)
+
+    # host->device link bandwidth, measured AFTER all timed windows (the
+    # upload direction is safe, but keep the timed windows pristine) and
+    # BEFORE any result pull (the first device->host transfer permanently
+    # degrades launch latency on this runtime). This turns "host-link-
+    # bound" from a story into a number: a 640x480 u8 frame is 307,200
+    # bytes, so the link alone caps the pipeline at bw / 0.3 MB frames/s.
+    chunk_np = np.zeros((CHUNK, 480, 640), np.uint8)
+    bw = 0.0
+    for _ in range(6):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(chunk_np))
+        bw = max(bw, chunk_np.nbytes / (time.perf_counter() - t0))
+    link_cap_fps = bw / (480 * 640)
+
     check_p()
     check_l()
 
@@ -198,6 +215,14 @@ def main():
         "light_vs_baseline": round(best_l / baseline_light, 3),
         "baseline_fps": {"preset": baseline_preset,
                          "light": baseline_light},
+        # self-describing variance (round-4 review: window spreads up to
+        # 5x across driver runs of identical code had no in-artifact
+        # record): the full per-window lists + the measured host->device
+        # link rate, so "link-bound" is checkable from the artifact alone
+        "preset_windows_fps": [round(f, 1) for f in preset_fps],
+        "light_windows_fps": [round(f, 1) for f in light_fps],
+        "host_link_gbps": round(bw / 1e9, 2),
+        "link_cap_fps": round(link_cap_fps, 0),
     }))
 
 

@@ -315,11 +315,23 @@ if __name__ == "__main__":
                     help="internal: build+checkpoint a map, then exit")
     ap.add_argument("--mk-size", default="640x480")
     ap.add_argument("--single-ref", action="store_true")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N_DEVICES",
+                    help="force the CPU platform with N virtual devices "
+                         "(the site config pins jax_platforms=axon,cpu, "
+                         "which SHADOWS the JAX_PLATFORMS env var — only "
+                         "an in-process config update forces CPU)")
     ap.add_argument("--mh-worker-id", type=int, default=None)
     ap.add_argument("--mh-nproc", type=int)
     ap.add_argument("--mh-port", type=int)
     ap.add_argument("--mh-devs", type=int)
     a = ap.parse_args()
+    if a.cpu:
+        # before any backend init: XLA_FLAGS is read when the CPU client
+        # is created, and the platform pin must be a config update
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={a.cpu}")
+        jax.config.update("jax_platforms", "cpu")
     if a.mh_worker_id is not None:
         _multihost_worker(a)
     elif a.mk_snapshot:

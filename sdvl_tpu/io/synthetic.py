@@ -105,6 +105,7 @@ class PlaneScene:
         self.extent = extent
         self.dist = None if dist is None else np.asarray(dist, np.float64)
         self.tex = make_texture(seed=seed) if texture is None else texture
+        self._rays = None  # pose-independent ray grid, built on first render
 
     def _undistort_normalized(self, x_d, y_d, iters: int = 8):
         """Invert the radial-tangential model (k1 k2 p1 p2 k3, the
@@ -133,13 +134,18 @@ class PlaneScene:
         Rcw = R.T
         tcw = -R.T @ t
 
-        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
-        xn = (u - self.cx) / self.fx
-        yn = (v - self.cy) / self.fy
-        if self.dist is not None and np.any(self.dist != 0):
-            xn, yn = self._undistort_normalized(xn, yn)
-        rays = np.stack([xn, yn, np.ones_like(u, np.float64)], axis=-1)
-        rays_w = rays @ Rcw.T
+        if self._rays is None:
+            # the normalized ray grid depends only on intrinsics — caching
+            # it makes the long-run harness render-bound by cv2.remap, not
+            # by rebuilding this 300k-point meshgrid every frame
+            u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+            xn = (u - self.cx) / self.fx
+            yn = (v - self.cy) / self.fy
+            if self.dist is not None and np.any(self.dist != 0):
+                xn, yn = self._undistort_normalized(xn, yn)
+            self._rays = np.stack(
+                [xn, yn, np.ones_like(u, np.float64)], axis=-1)
+        rays_w = self._rays @ Rcw.T
         # intersect z = plane_z: tcw_z + s * ray_z = plane_z
         denom = rays_w[..., 2]
         denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
@@ -204,7 +210,7 @@ class MultiPlaneScene:
 
     def __init__(self, fx=210.0, fy=210.0, cx=159.5, cy=119.5,
                  width=320, height=240, backdrop_z=6.0, extent=9.0,
-                 boxes=None, seed=0):
+                 boxes=None, seed=0, tex_size=512, backdrop_size=1024):
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.width, self.height = width, height
         self.backdrop_z = backdrop_z
@@ -217,9 +223,12 @@ class MultiPlaneScene:
                 (4.8, -2.6, -0.8, 1.0, 2.6),
             ]
         self.boxes = [tuple(float(v) for v in b) for b in boxes]
-        self.textures = [make_texture(512, seed=seed + 1 + i)
+        # tex_size/backdrop_size scale texture detail to the render
+        # resolution (512/1024 match 320x240; full-res 640x480 head-to-
+        # heads pass 1024/2048 so texture detail matches pixel density)
+        self.textures = [make_texture(tex_size, seed=seed + 1 + i)
                          for i in range(len(self.boxes))]
-        self.backdrop = make_texture(1024, seed=seed)
+        self.backdrop = make_texture(backdrop_size, seed=seed)
 
     def render(self, pose_wc: np.ndarray) -> np.ndarray:
         import cv2

@@ -38,6 +38,8 @@ def test_long_stream_fills_recycles_and_relocalizes():
     # (every insertion past K evicted a keyframe, map.cc:190-205)
     assert stats["keyframes_live"] <= K, stats
     assert stats["keyframes_total_inserted"] >= K + 3, stats
+    # device-side counters: capacity eviction demonstrably fired
+    assert stats["evictions"] > 0, stats
     # blackout forced LOST, recovery was a real relocalization
     states = np.asarray(r.states)
     assert (states == 3).any(), stats

@@ -41,6 +41,13 @@ def test_preset_loads_and_is_sane(name):
     assert cfg.sdvl.use_orb is True
 
 
+# Deliberate preset divergences: TPU-native extension knobs with no
+# reference analogue, shipped ON where a measurement justifies them (the
+# justification lives as a comment in the preset file + PARITY.md). Every
+# knob the reference DOES have must still match exactly.
+ALLOWED_DIVERGENCES = {"zurich": {"epipolar_corner_gate"}}
+
+
 @pytest.mark.skipif(not os.path.isdir(REF),
                     reason="reference checkout not available")
 @pytest.mark.parametrize("name", PRESETS)
@@ -48,9 +55,16 @@ def test_preset_matches_reference_exactly(name):
     ours = load_cfg(os.path.join(CONFIGS, name + ".cfg"))
     ref = load_cfg(os.path.join(REF, f"config_{name}.cfg"))
     assert ours.camera == ref.camera
+    allowed = ALLOWED_DIVERGENCES.get(name, set())
     for f in dataclasses.fields(ours.sdvl):
+        if f.name in allowed:
+            continue
         assert getattr(ours.sdvl, f.name) == getattr(ref.sdvl, f.name), \
             f"knob {f.name} diverges from the reference preset"
+    # the divergence list stays honest: each listed knob really diverges
+    for name_ in allowed:
+        assert getattr(ours.sdvl, name_) != getattr(ref.sdvl, name_), \
+            f"{name_} listed as divergent but matches"
 
 
 def test_first_token_numeric_repair(tmp_path):

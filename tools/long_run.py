@@ -1,22 +1,31 @@
 """Long live-mapping run: thousands of frames filling + recycling the map.
 
-The reference's long-trajectory axis is the Zurich preset
-(config/config_zurich.cfg, max_keyframes=1000) with keyframe-cap eviction
-(map.cc:190-205) and redundancy pruning (map.cc:619-687) keeping the map
-bounded. Every prior in-repo long-horizon artifact either wrote synthetic
-keyframes directly (tools/zurich_scale_smoke.py) or stopped near ~120
-insertions; this tool runs a REAL multi-thousand-frame tracking sequence
-on-chip with the full mapper in the loop — eviction, pruning,
+The reference's long-trajectory axis is its shipped preset capacity
+(config/config_tum_f1.cfg:37 `max_keyframes: 1000`) with keyframe-cap
+eviction (map.cc:190-205) and redundancy pruning (map.cc:619-687) keeping
+the map bounded. This tool runs a REAL multi-thousand-frame tracking
+sequence on-chip with the full mapper in the loop — eviction, pruning,
 reobservation, depth-filter recycling — plus a mid-sequence sensor
 blackout that forces LOST and a genuine relocalization against the
 already-built map.
 
-Asserts: finishes RUNNING, bounded live keyframes with total insertions
-well past capacity (eviction exercised), finite Sim(3) ATE over tracked
-frames, >= 1 LOST->RUNNING recovery after the blackout, and steady
-throughput. Prints one JSON artifact.
+The churn regime is geometric, not a knob: a keyframe is inserted about
+every FOV turnover (~190-380 px of image travel, map.cc:170-188 —
+matches only decay as points leave the view), so a K-slot store starts
+EVICTING only once the live corridor exceeds ~K*300 px of travel, and
+reaching insertions >= 3*K takes >= 3*K*300 px of path. The default
+multi-leg cosine sweep is sized for K=100: ~1300 world units of path at
+z=8 (65 px/unit) in ~5200 frames. For the K=1000 presets that same
+physics needs ~50k frames of continuously-novel video — the per-step
+cost at K=1000 is measured separately by tools/capacity_probe.py.
 
-Usage: python tools/long_run.py [--frames 3000] [--kf 100] [--json out]
+Asserts: finishes RUNNING, bounded live keyframes with total insertions
+well past capacity, eviction AND redundancy pruning fired (counted on
+device: MapState.n_evicted / n_pruned), finite Sim(3) ATE over tracked
+frames, >= 1 LOST->RUNNING recovery after the blackout. Prints one JSON
+artifact.
+
+Usage: python tools/long_run.py [--frames 5200] [--kf 100] [--json out]
 The CI twin (tests/test_long_run.py) calls run_protocol() at reduced scale.
 """
 
@@ -33,28 +42,50 @@ sys.path.insert(0, REPO)
 
 
 def long_trajectory(n_frames: int, span: float = 8.0, y_amp: float = 0.4,
-                    yaw_amp: float = 0.06):
-    """Out-and-back traveling sweep (world->cam poses, frame 0 identity).
+                    yaw_amp: float = 0.06, legs: int = 2,
+                    loiter=None, loiter_r: float = 1.5,
+                    loiter_laps: int = 3):
+    """Multi-leg traveling sweep (world->cam poses, frame 0 identity).
 
     Unlike PlaneScene.trajectory's bounded sinusoid (which keeps revisiting
     already-mapped ground, so the keyframe policy plateaus after a handful
-    of insertions), this TRAVELS: x covers ``span`` world units as a
-    triangle wave, continuously leaving old territory — keyframes keep
-    being created, the capacity cap keeps evicting — then returns through
-    it on the second half (the revisit leg for relocalization).
+    of insertions), this TRAVELS: x sweeps [0, span] ``legs`` times with a
+    cosine profile (smooth velocity reversal at the ends — a triangle
+    wave's instantaneous flip would spike the motion-model error by the
+    full per-frame shift at every turnaround). When ``span`` exceeds the
+    live map's corridor coverage, every leg keeps creating keyframes over
+    re-entered territory the capacity cap already evicted.
+
+    ``loiter=(t0, t1)`` pauses the sweep over that time fraction and orbits
+    a circle of radius ``loiter_r`` instead (``loiter_laps`` laps, cosine-
+    ramped angular speed). Each lap re-observes the previous laps' ground
+    at the SAME scale, which is what makes redundancy pruning
+    (map.cc:619-687) fire live: a straight corridor alone rarely gives a
+    point the >=3 same-or-finer-scale co-observers the rule requires.
     """
     from sdvl_tpu.io.synthetic import _np_se3_exp, _np_se3_inverse
 
+    l0, l1 = loiter if loiter else (1.0, 1.0)
+    d = l1 - l0
     poses = []
     for i in range(n_frames):
         t = i / max(n_frames - 1, 1)
-        tri = 2.0 * t if t < 0.5 else 2.0 * (1.0 - t)
+        dx = dy = 0.0
+        if loiter and l0 <= t < l1:
+            tau = l0 / max(1.0 - d, 1e-9)
+            lt = (t - l0) / d
+            ang = 2 * np.pi * loiter_laps * 0.5 * (1 - np.cos(np.pi * lt))
+            dx = loiter_r * np.sin(ang)
+            dy = loiter_r * (1.0 - np.cos(ang))
+        else:
+            tau = (t if t < l0 else t - d) / max(1.0 - d, 1e-9)
+        sweep = 0.5 * (1.0 - np.cos(np.pi * legs * tau))
         ph = i / 90.0
         xi = np.array([
-            span * tri,
-            y_amp * np.sin(2 * np.pi * ph),
+            span * sweep + dx,
+            y_amp * np.sin(2 * np.pi * ph) + dy,
             0.2 * np.sin(2 * np.pi * t),
-            yaw_amp * np.sin(2 * np.pi * ph * 0.5),
+            yaw_amp * np.sin(2 * np.pi * ph),
             yaw_amp * np.cos(2 * np.pi * ph * 0.25) - yaw_amp,
             0.5 * yaw_amp * np.sin(2 * np.pi * ph * 0.33),
         ], np.float32)
@@ -64,10 +95,11 @@ def long_trajectory(n_frames: int, span: float = 8.0, y_amp: float = 0.4,
 
 def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
                  blackout_frac: float = 0.6, blackout_len: int = 5,
-                 span: float = 8.0, seed: int = 0):
-    """Feed a long out-and-back sweep (continuous new coverage -> many
+                 span: float = 8.0, legs: int = 2, loiter=None,
+                 seed: int = 0):
+    """Feed a long multi-leg sweep (continuous new coverage -> many
     keyframes -> eviction) with a short blackout at ``blackout_frac``
-    (on the return leg, i.e. in REVISITED territory), so recovery must
+    (mid-leg, i.e. in recently-REVISITED territory), so recovery must
     come from relocalization against previously-built map structure.
 
     Returns (result, gt_poses, stats dict). Pure protocol — no asserts —
@@ -76,7 +108,7 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
     """
     from sdvl_tpu.pipeline.stream import SdvlStream
 
-    poses = long_trajectory(n_frames, span=span)
+    poses = long_trajectory(n_frames, span=span, legs=legs, loiter=loiter)
     b0 = int(n_frames * blackout_frac)
     blackout = set(range(b0, b0 + blackout_len))
 
@@ -146,14 +178,22 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
         "matches_before_first_lost": (
             [int(x) for x in nm[max(0, lost[0] - 12): lost[0]]]
             if len(lost) else []),
-        "keyframe_frames": [int(k) for k in kf_frames],
+        "n_keyframe_frames": int(len(kf_frames)),
         "final_state": r.state_name(),
         "reloc_after_blackout": reloc_ok,
         "keyframes_live": live_kf,
         "keyframes_total_inserted": total_kf,
+        # device-counted map-maintenance events (MapState.n_evicted /
+        # n_pruned): eviction = capacity cap (map.cc:190-205), prune =
+        # redundancy (map.cc:619-687 with anchor re-homing)
+        "evictions": int(np.asarray(m.n_evicted)),
+        "prunes": int(np.asarray(m.n_pruned)),
         "points_live": live_pts,
         "ate_rmse": None if ate is None else round(ate, 4),
-        "fps": round(n_steady / wall, 1),
+        # HARNESS rate: the wall clock includes per-frame host rendering
+        # (~14 ms/frame at 640x480) — this is NOT framework throughput
+        # (bench.py measures that against pre-rendered chunks)
+        "harness_fps": round(n_steady / wall, 1),
         "compile_s": round(t_comp, 1),
     }
     return r, gt, stats
@@ -161,10 +201,13 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=3000)
-    ap.add_argument("--kf", type=int, default=24)
-    ap.add_argument("--span", type=float, default=45.0,
-                    help="world units traveled out (and back)")
+    ap.add_argument("--frames", type=int, default=5200)
+    ap.add_argument("--kf", type=int, default=100)
+    ap.add_argument("--span", type=float, default=440.0,
+                    help="world units per leg (must exceed the live "
+                         "corridor, ~kf*4.6 units, for eviction churn)")
+    ap.add_argument("--legs", type=int, default=3)
+    ap.add_argument("--points", type=int, default=4096)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -177,13 +220,12 @@ def main():
     from sdvl_tpu.io.synthetic import PlaneScene, make_texture
     from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
 
-    # Keyframe cadence is ~1 per FOV turnover (~190 px of image travel:
-    # matches decay below the policy thresholds only as points leave the
-    # view, map.cc:170-188) — so recycling a k-slot store live requires
-    # ~k*190 px of travel. Deep plane (z=8) + a 4096-px texture keeps
-    # texture resolution matched to image resolution (fx/z = 65 px/unit
-    # vs 4096/(2*extent) = 60 px/unit) over a 45-unit span: ~2 px/frame,
-    # ~30 keyframe insertions per out-and-back at 3000 frames.
+    # Deep plane (z=8) + a 4096-px texture keeps texture resolution matched
+    # to image resolution near the extent (fx/z = 65 px/unit vs
+    # 4096/(2*extent) = 60 px/unit); beyond the extent cv2's BORDER_REFLECT
+    # mirror-tiles the texture, so the corridor can exceed the extent
+    # without running out of structure. Default speed: 3 legs x 440 units
+    # in 5200 frames = cosine-profile mean ~16 px/frame (peak ~25).
     Z = 8.0
     scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                        width=640, height=480, plane_z=Z, extent=34.0,
@@ -193,10 +235,11 @@ def main():
                             u0=318.6, v0=255.3, dist=(0, 0, 0, 0, 0)),
         sdvl=SdvlConfig(min_avg_shift=10.0, max_keyframes=args.kf,
                         min_keyframe_its=10, min_init_corners=40,
-                        max_points=4096, max_candidates=512,
+                        max_points=args.points, max_candidates=512,
                         map_scale=Z),
     )
-    _, _, stats = run_protocol(cfg, scene, args.frames, span=args.span)
+    _, _, stats = run_protocol(cfg, scene, args.frames, span=args.span,
+                               legs=args.legs, loiter=(0.40, 0.52))
     print(json.dumps(stats, indent=1))
     if args.json:
         with open(args.json, "w") as f:
@@ -206,6 +249,8 @@ def main():
     assert stats["tracked_ratio"] > 0.9, stats
     assert stats["reloc_after_blackout"], stats
     assert stats["keyframes_live"] <= args.kf, stats
+    assert stats["keyframes_total_inserted"] >= 3 * args.kf, stats
+    assert stats["evictions"] > 0 and stats["prunes"] > 0, stats
     assert stats["ate_rmse"] is not None and np.isfinite(stats["ate_rmse"])
     print("LONG_RUN_OK")
 
