@@ -14,10 +14,13 @@ every FOV turnover (~190-380 px of image travel, map.cc:170-188 —
 matches only decay as points leave the view), so a K-slot store starts
 EVICTING only once the live corridor exceeds ~K*300 px of travel, and
 reaching insertions >= 3*K takes >= 3*K*300 px of path. The default
-multi-leg cosine sweep is sized for K=100: ~1300 world units of path at
-z=8 (65 px/unit) in ~5200 frames. For the K=1000 presets that same
-physics needs ~50k frames of continuously-novel video — the per-step
-cost at K=1000 is measured separately by tools/capacity_probe.py.
+lawnmower sweep (lawnmower_trajectory) is sized for K=100: ~1550 world
+units of path at z=8 (65 px/unit) in ~13000 frames at <= ~11 px/frame,
+entirely inside the textured extent. For the K=1000 presets the same
+physics needs ~10x that path — the per-step cost at K=1000 is measured
+separately by tools/capacity_probe.py. Point capacity must scale with
+keyframe capacity (see --points); the point store recycles only through
+observer death (eviction / pruning / weak-point reaping).
 
 Asserts: finishes RUNNING, bounded live keyframes with total insertions
 well past capacity, eviction AND redundancy pruning fired (counted on
@@ -93,10 +96,47 @@ def long_trajectory(n_frames: int, span: float = 8.0, y_amp: float = 0.4,
     return poses
 
 
+def lawnmower_trajectory(n_frames: int, ax: float = 30.0,
+                         y0: float = -28.0, y1: float = 28.0,
+                         k: int = 12, legs: int = 2,
+                         yaw_amp: float = 0.05):
+    """Boustrophedon sweep INSIDE the textured extent (world->cam poses).
+
+    x oscillates sinusoidally over [-ax, ax] ``k`` times while y advances
+    across [y0, y1] and back (``legs`` passes, cosine profile). Total path
+    ~ 4*ax*k + |y1-y0|*legs world units — enough for hundreds of keyframe
+    insertions WITHOUT ever leaving the real texture: the multi-hundred-
+    unit straight corridor alternative runs deep into cv2's BORDER_REFLECT
+    mirror zone, where live runs repeatedly collapsed (r5: three crashes
+    at x ~= 60/69/107, all >= 26 units past the x=extent fold, with clean
+    tracking elsewhere at the same speeds). Adjacent rows overlap ~50%
+    vertically at z=8, so revisited points gain same-scale co-observers —
+    the condition redundancy pruning (map.cc:619-687) needs to fire live.
+    """
+    from sdvl_tpu.io.synthetic import _np_se3_exp, _np_se3_inverse
+
+    poses = []
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        x = ax * np.sin(2 * np.pi * k * t)
+        y = y0 + (y1 - y0) * 0.5 * (1.0 - np.cos(np.pi * legs * t))
+        ph = i / 90.0
+        xi = np.array([
+            x,
+            y,
+            0.2 * np.sin(2 * np.pi * t),
+            yaw_amp * np.sin(2 * np.pi * ph),
+            yaw_amp * np.cos(2 * np.pi * ph * 0.25) - yaw_amp,
+            0.5 * yaw_amp * np.sin(2 * np.pi * ph * 0.33),
+        ], np.float32)
+        poses.append(_np_se3_inverse(_np_se3_exp(xi)))
+    return poses
+
+
 def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
                  blackout_frac: float = 0.6, blackout_len: int = 5,
                  span: float = 8.0, legs: int = 2, loiter=None,
-                 seed: int = 0):
+                 poses=None, seed: int = 0):
     """Feed a long multi-leg sweep (continuous new coverage -> many
     keyframes -> eviction) with a short blackout at ``blackout_frac``
     (mid-leg, i.e. in recently-REVISITED territory), so recovery must
@@ -108,7 +148,9 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
     """
     from sdvl_tpu.pipeline.stream import SdvlStream
 
-    poses = long_trajectory(n_frames, span=span, legs=legs, loiter=loiter)
+    if poses is None:
+        poses = long_trajectory(n_frames, span=span, legs=legs,
+                                loiter=loiter)
     b0 = int(n_frames * blackout_frac)
     blackout = set(range(b0, b0 + blackout_len))
 
@@ -201,13 +243,21 @@ def run_protocol(cfg, scene, n_frames: int, chunk: int = 16,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=5200)
+    ap.add_argument("--frames", type=int, default=13000)
     ap.add_argument("--kf", type=int, default=100)
-    ap.add_argument("--span", type=float, default=440.0,
-                    help="world units per leg (must exceed the live "
-                         "corridor, ~kf*4.6 units, for eviction churn)")
-    ap.add_argument("--legs", type=int, default=3)
-    ap.add_argument("--points", type=int, default=4096)
+    ap.add_argument("--rows", type=int, default=12,
+                    help="lawnmower x-periods (path ~ 4*30*rows units; "
+                         "must exceed the live corridor, ~kf*4.6 units, "
+                         "for eviction churn)")
+    ap.add_argument("--legs", type=int, default=2)
+    ap.add_argument("--points", type=int, default=None,
+                    help="point-slot capacity; defaults to 160*kf. MUST "
+                         "scale with the keyframe capacity: live keyframes "
+                         "each hold ~150 points, and points are only "
+                         "recycled when observers die (eviction/pruning/"
+                         "weak-point reaping) — a 4096-point store under a "
+                         "100-KF map FILLS after ~26 insertions, seeding "
+                         "stops, and tracking starves (measured r5)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -221,12 +271,14 @@ def main():
     from sdvl_tpu.pipeline.config import CameraConfig, Config, SdvlConfig
 
     # Deep plane (z=8) + a 4096-px texture keeps texture resolution matched
-    # to image resolution near the extent (fx/z = 65 px/unit vs
-    # 4096/(2*extent) = 60 px/unit); beyond the extent cv2's BORDER_REFLECT
-    # mirror-tiles the texture, so the corridor can exceed the extent
-    # without running out of structure. Default speed: 3 legs x 440 units
-    # in 5200 frames = cosine-profile mean ~16 px/frame (peak ~25).
+    # to image resolution (fx/z = 65 px/unit vs 4096/(2*extent) = 60
+    # px/unit). The lawnmower stays INSIDE the extent: beyond it cv2's
+    # BORDER_REFLECT mirror zone repeatedly collapsed live tracking (see
+    # lawnmower_trajectory docstring). Default speed: ~7.8 px/frame mean,
+    # ~11.3 peak.
     Z = 8.0
+    if args.points is None:
+        args.points = 160 * args.kf
     scene = PlaneScene(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                        width=640, height=480, plane_z=Z, extent=34.0,
                        texture=make_texture(4096, seed=0))
@@ -238,8 +290,8 @@ def main():
                         max_points=args.points, max_candidates=512,
                         map_scale=Z),
     )
-    _, _, stats = run_protocol(cfg, scene, args.frames, span=args.span,
-                               legs=args.legs, loiter=(0.40, 0.52))
+    poses = lawnmower_trajectory(args.frames, k=args.rows, legs=args.legs)
+    _, _, stats = run_protocol(cfg, scene, args.frames, poses=poses)
     print(json.dumps(stats, indent=1))
     if args.json:
         with open(args.json, "w") as f:
