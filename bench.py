@@ -97,9 +97,16 @@ def make_setup(preset: bool = False):
     return scene, cfg
 
 
-CHUNK = 16      # frames per fused lax.scan launch
-N_WARM = 16     # one warmup chunk: bootstrap + compile everything
-N_WINDOW = 240  # frames per timed window
+CHUNK = 32      # frames per fused lax.scan launch — MEASURED choice
+#                 (tools/chunk_sweep.py, round 5): 32 beat 16 in every
+#                 same-process repeat (best windows 12.8k/10.4k/10.9k vs
+#                 6.0k/9.0k/10.2k fps, light shape) by amortizing the
+#                 ~0.5-1.5 ms tunnel launch + per-transfer overhead over
+#                 2x the frames; 64 measured on par with 32 (launch
+#                 overhead already amortized away) at 2x the serving
+#                 latency granularity, so 32 is the shipped default
+N_WARM = 32     # one warmup chunk: bootstrap + compile everything
+N_WINDOW = 256  # frames per timed window (8 chunks)
 
 
 def run_mode(preset: bool, n_windows: int):

@@ -31,7 +31,7 @@ def main():
         slam = SdvlStream(cfg, seed=0)
         frames = [
             np.clip(scene.render(p), 0, 255).astype(np.uint8)
-            for p in scene.trajectory(16, translation_amp=1.0)
+            for p in scene.trajectory(bench.CHUNK, translation_amp=1.0)
         ]
         slam.feed_chunk(np.stack(frames))
         slam.block()
