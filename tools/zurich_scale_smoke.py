@@ -107,6 +107,18 @@ def main():
     m = fill(m, jnp.asarray(kf_poses), jnp.asarray(pts_w), jnp.asarray(imgs))
     jax.block_until_ready(m.kf_pose)
 
+    # SERVING PHASE FIRST: it is latency-sensitive, and the BA phase below
+    # reads scalar reprojection errors off-device — on this runtime the
+    # FIRST device->host transfer of the process permanently degrades
+    # launch latency (~25 ms sync mode; pipeline/device_fsm.py docstring),
+    # which round 5 measured poisoning the serve timings 100x when the BA
+    # phase ran first (chunked 3,263 -> 26 fps, 16-lane reloc 0.5 -> 37 ms
+    # for identical code). The BA phase times multi-second jitted solves
+    # under block_until_ready, so launch-latency poisoning from the serve
+    # phase's final result() pull is noise to it.
+    serve_out = serve_smoke(m, intr, scene, kf_poses, K_CAP, P) \
+        if args.serve else {}
+
     # perturb poses+points, then PCG global BA must pull them back
     key = jax.random.PRNGKey(1)
     dk, pk = jax.random.split(key)
@@ -155,8 +167,7 @@ def main():
     }
     assert e1 < 0.35 * e0, (e0, e1)
 
-    if args.serve:
-        out.update(serve_smoke(m, intr, scene, kf_poses, K_CAP, P))
+    out.update(serve_out)
     print(json.dumps(out))
     print("zurich_scale_smoke OK")
 
@@ -198,7 +209,7 @@ def serve_smoke(m, intr, scene, kf_poses, K_CAP, P):
         )
 
     # query frames: revisit the mapped trajectory with a small offset
-    q_poses = [kf_poses[10 + i] for i in range(66)]
+    q_poses = [kf_poses[10 + i] for i in range(130)]
     q_frames = [np.clip(scene.render(p), 0, 255).astype(np.uint8)
                 for p in q_poses]
 
@@ -218,16 +229,17 @@ def serve_smoke(m, intr, scene, kf_poses, K_CAP, P):
     slam.block()
     steady_ms = (time.perf_counter() - t0) / 64 * 1e3
 
-    # chunked serving at capacity: one fused lax.scan launch per 16 frames
+    # chunked serving at capacity: one fused lax.scan launch per 32 frames
     # amortizes the per-launch tunnel latency that dominates steady_ms
-    chunks = [np.stack(q_frames[i:i + 16]) for i in (1, 17, 33, 49)]
+    # (32 = the measured sweet spot, tools/chunk_sweep.py round 5)
+    chunks = [np.stack(q_frames[i:i + 32]) for i in (1, 33, 65, 97)]
     slam.feed_chunk(chunks[0])
     slam.block()                       # compile the chunk program
     t0 = time.perf_counter()
     for c in chunks:
         slam.feed_chunk(c)
     slam.block()
-    chunk_fps = 64 / (time.perf_counter() - t0)
+    chunk_fps = 128 / (time.perf_counter() - t0)
 
     # standalone relocalizer: cost tracks the lane budget, not K
     img = jnp.asarray(q_frames[0][: slam.crop_h, : slam.crop_w],
